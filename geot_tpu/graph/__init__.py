@@ -1,0 +1,36 @@
+from geot_tpu.graph.plan import SegmentPlan, build_segment_plan, plan_tile_bounds
+from geot_tpu.graph.preprocess import (
+    coo_to_csr,
+    csr_to_coo,
+    sort_edges_by_dst,
+    add_self_loops,
+    degree,
+    gcn_norm,
+)
+from geot_tpu.graph.structures import Graph, build_graph
+from geot_tpu.graph.datasets import (
+    GraphData,
+    load_npz,
+    synthetic_graph,
+    get_dataset,
+    DATASET_SHAPES,
+)
+
+__all__ = [
+    "SegmentPlan",
+    "build_segment_plan",
+    "plan_tile_bounds",
+    "coo_to_csr",
+    "csr_to_coo",
+    "sort_edges_by_dst",
+    "add_self_loops",
+    "degree",
+    "gcn_norm",
+    "Graph",
+    "build_graph",
+    "GraphData",
+    "load_npz",
+    "synthetic_graph",
+    "get_dataset",
+    "DATASET_SHAPES",
+]

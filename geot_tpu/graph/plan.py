@@ -1,0 +1,197 @@
+"""Tiled segment-reduction execution plan.
+
+This is the TPU-native replacement for GeoT's atomic-scatter CUDA schedules
+(reference: `csrc/cuda/index_scatter_kernel.cuh:48-201`, the PR/SR sorted
+segment-reduce kernels, and the nnz-balanced CSR group-wise schedule of
+`csrc/cuda/csr_gws_kernel.cuh:12-187`). TPUs have no atomics and Pallas TPU
+grids execute sequentially per core, so instead of atomicAdd at segment
+boundaries we precompute a static *plan* that partitions the dst-sorted edge
+list into fixed-size tiles such that:
+
+  * every tile holds exactly ``e_tile`` edge slots (padded with masked slots),
+  * all edges in a tile target segments inside one aligned output window
+    ``[out_block*s_tile, (out_block+1)*s_tile)``,
+  * tiles are ordered by ``out_block`` (dst-sorted edges make this free), so
+    all tiles contributing to an output window are consecutive — the Pallas
+    kernel accumulates them in VMEM across sequential grid steps and flushes
+    each output block exactly once. Deterministic by construction.
+
+Inside a tile the reduction is a one-hot matmul on the MXU:
+``P[s, :] = sum_e [dst_e - base == s] * w_e * v_e`` — an
+``(s_tile × e_tile) @ (e_tile × f_tile)`` contraction, which is the TPU
+idiom for scatter-add (also used for MoE dispatch).
+
+The plan is built once per graph (host-side numpy or jit-compatible jnp),
+amortized across training steps — analogous to GeoT's one-time
+``coo_to_csr`` format transform (`geot/match_replace/format_transform.py:5-40`)
+but carrying the full schedule, which replaces the decision-tree launch
+rules (`csrc/cuda/wrapper/index_scatter_rule.h`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["SegmentPlan", "build_segment_plan", "plan_tile_bounds"]
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SegmentPlan:
+    """Static execution plan for tiled sorted-segment reduction.
+
+    Array fields (pytree leaves), with T = number of tiles, E = e_tile:
+      src_slots: [T, E] int32 — source node id per edge slot (0 on padding).
+      dst_slots: [T, E] int32 — destination segment id per slot; padding
+        slots point at the tile's window base so their local id is 0.
+      edge_pos:  [T, E] int32 — index into the caller's (dst-sorted) edge
+        arrays for each slot (0 on padding; combine with `mask`).
+      mask:      [T, E] float32 — 1.0 for real edges, 0.0 for padding.
+      out_block: [T]    int32 — output window index; window w covers output
+        rows [w*s_tile, (w+1)*s_tile). Non-decreasing over tiles, and every
+        window in [0, n_blocks) appears at least once (coverage).
+
+    Static metadata (aux data — hashable, participates in jit caching):
+      e_tile, s_tile, num_segments, n_blocks, num_edges, num_src_nodes.
+    """
+
+    src_slots: jax.Array
+    dst_slots: jax.Array
+    edge_pos: jax.Array
+    mask: jax.Array
+    out_block: jax.Array
+    e_tile: int = dataclasses.field(metadata=dict(static=True))
+    s_tile: int = dataclasses.field(metadata=dict(static=True))
+    num_segments: int = dataclasses.field(metadata=dict(static=True))
+    n_blocks: int = dataclasses.field(metadata=dict(static=True))
+    num_edges: int = dataclasses.field(metadata=dict(static=True))
+    num_src_nodes: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def num_tiles(self) -> int:
+        return self.src_slots.shape[0]
+
+    @property
+    def padded_segments(self) -> int:
+        return self.n_blocks * self.s_tile
+
+    @property
+    def padding_ratio(self) -> float:
+        total = self.num_tiles * self.e_tile
+        return float(total - self.num_edges) / float(max(self.num_edges, 1))
+
+    def gather_edge_values(self, edge_vals: jax.Array) -> jax.Array:
+        """Permute caller-order per-edge values into slot order, zeroing pads.
+
+        edge_vals: [num_edges, ...] → [T, E, ...]
+        """
+        flat = edge_vals[self.edge_pos.reshape(-1)]
+        flat = flat.reshape(self.edge_pos.shape + edge_vals.shape[1:])
+        m = self.mask.reshape(self.mask.shape + (1,) * (edge_vals.ndim - 1))
+        return flat * m.astype(flat.dtype)
+
+
+def plan_tile_bounds(num_edges: int, num_segments: int, e_tile: int, s_tile: int) -> int:
+    """Static upper bound on the number of tiles a plan can need.
+
+    Each output window adds at most one partially-filled tile, plus one tile
+    per full e_tile of edges, and empty windows get one coverage tile each.
+    """
+    n_blocks = max(_cdiv(max(num_segments, 1), s_tile), 1)
+    return _cdiv(num_edges, e_tile) + n_blocks
+
+
+def build_segment_plan(
+    dst: np.ndarray,
+    src: Optional[np.ndarray],
+    num_segments: int,
+    *,
+    e_tile: int = 256,
+    s_tile: int = 256,
+    num_src_nodes: Optional[int] = None,
+) -> SegmentPlan:
+    """Build a SegmentPlan from a dst-sorted COO edge list (host-side).
+
+    Args:
+      dst: [nnz] destination segment ids, MUST be sorted ascending (the same
+        contract as GeoT's `sorted=True` path, `geot/index_scatter.py:5-8`).
+      src: [nnz] source node ids, or None (index_scatter-style use where
+        values are given per edge directly).
+      num_segments: static number of output segments. (GeoT sizes the output
+        from `index[-1]+1` at runtime, `csrc/index_scatter.cpp:15`; on TPU
+        the output shape must be trace-static, so it is an argument.)
+      e_tile: edge slots per tile.
+      s_tile: output window size (rows per output block).
+    """
+    dst = np.asarray(dst)
+    nnz = int(dst.shape[0])
+    if nnz > 1 and not bool(np.all(dst[1:] >= dst[:-1])):
+        raise ValueError("dst must be sorted ascending; use sort_edges_by_dst first")
+    if nnz and int(dst[-1]) >= num_segments:
+        raise ValueError(
+            f"dst contains id {int(dst[-1])} >= num_segments={num_segments}"
+        )
+    if src is None:
+        src_arr = np.zeros(nnz, dtype=np.int32)
+        n_src = 1
+    else:
+        src_arr = np.asarray(src, dtype=np.int32)
+        n_src = int(num_src_nodes) if num_src_nodes is not None else (
+            int(src_arr.max()) + 1 if nnz else 1
+        )
+
+    n_blocks = max(_cdiv(max(num_segments, 1), s_tile), 1)
+
+    block_of_edge = dst // s_tile if nnz else np.zeros(0, dtype=np.int64)
+    cnt = np.bincount(block_of_edge, minlength=n_blocks).astype(np.int64)
+    # >=1 tile per window: empty windows still get a coverage (all-pad) tile
+    # so the Pallas kernel initializes every output block.
+    tiles_per_block = np.maximum(_cdiv(cnt, e_tile), 1)
+    tile_start = np.zeros(n_blocks + 1, dtype=np.int64)
+    np.cumsum(tiles_per_block, out=tile_start[1:])
+    num_tiles = int(tile_start[-1])
+
+    edge_start_of_block = np.zeros(n_blocks + 1, dtype=np.int64)
+    np.cumsum(cnt, out=edge_start_of_block[1:])
+
+    out_block = np.repeat(np.arange(n_blocks, dtype=np.int32), tiles_per_block)
+    seg_base = out_block.astype(np.int64) * s_tile
+
+    # default (padding) slot contents
+    dst_slots = np.repeat(seg_base, e_tile).reshape(num_tiles, e_tile)
+    src_slots = np.zeros((num_tiles, e_tile), dtype=np.int32)
+    edge_pos = np.zeros((num_tiles, e_tile), dtype=np.int32)
+    mask = np.zeros((num_tiles, e_tile), dtype=np.float32)
+
+    if nnz:
+        p = np.arange(nnz, dtype=np.int64) - edge_start_of_block[block_of_edge]
+        slot = (tile_start[block_of_edge] + p // e_tile) * e_tile + p % e_tile
+        dst_flat = dst_slots.reshape(-1)
+        dst_flat[slot] = dst
+        src_slots.reshape(-1)[slot] = src_arr
+        edge_pos.reshape(-1)[slot] = np.arange(nnz, dtype=np.int32)
+        mask.reshape(-1)[slot] = 1.0
+
+    return SegmentPlan(
+        src_slots=jnp.asarray(src_slots, dtype=jnp.int32),
+        dst_slots=jnp.asarray(dst_slots.astype(np.int32)),
+        edge_pos=jnp.asarray(edge_pos, dtype=jnp.int32),
+        mask=jnp.asarray(mask, dtype=jnp.float32),
+        out_block=jnp.asarray(out_block, dtype=jnp.int32),
+        e_tile=int(e_tile),
+        s_tile=int(s_tile),
+        num_segments=int(num_segments),
+        n_blocks=int(n_blocks),
+        num_edges=nnz,
+        num_src_nodes=n_src,
+    )

@@ -1,0 +1,92 @@
+"""Graph container with cached execution plans.
+
+Plays the role of PyG's `SparseTensor adj_t` in the reference model zoo
+(`models/utils.py:36-55`): a preprocessed, dst-sorted adjacency carrying
+everything the fused ops need — including the forward SegmentPlan and the
+transpose (src-sorted) plan so backward passes never re-sort edges. (GeoT
+pays a full `torch.sort` per backward call, `geot/gather_weight_scatter.py:41`;
+here the CSC permutation is precomputed once, per SURVEY §7.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geot_tpu.graph.plan import SegmentPlan, build_segment_plan
+
+__all__ = ["Graph", "build_graph"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Graph:
+    """dst-sorted COO adjacency + plans.
+
+    src, dst: [nnz] int32, sorted by dst ascending.
+    edge_weight: [nnz] float or None.
+    plan: forward SegmentPlan (reduce over dst).
+    plan_t: transpose plan (reduce over src) — drives backward / A^T @ X.
+    perm_t: [nnz] int32 — position in dst-sorted order of the e-th edge of
+      the src-sorted order (edge_attr_t = edge_attr[perm_t]).
+    """
+
+    src: jax.Array
+    dst: jax.Array
+    edge_weight: Optional[jax.Array]
+    plan: SegmentPlan
+    plan_t: SegmentPlan
+    perm_t: jax.Array
+    num_nodes: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def num_edges(self) -> int:
+        return int(self.src.shape[0])
+
+
+def build_graph(
+    src,
+    dst,
+    num_nodes: int,
+    edge_weight=None,
+    *,
+    e_tile: int = 256,
+    s_tile: int = 256,
+    assume_sorted: bool = False,
+) -> Graph:
+    """Host-side graph preprocessing: sort by dst, build fwd + transpose plans."""
+    src = np.asarray(src, dtype=np.int32)
+    dst = np.asarray(dst, dtype=np.int32)
+    if edge_weight is not None:
+        edge_weight = np.asarray(edge_weight)
+    if not assume_sorted:
+        order = np.argsort(dst, kind="stable")
+        src, dst = src[order], dst[order]
+        if edge_weight is not None:
+            edge_weight = edge_weight[order]
+    plan = build_segment_plan(
+        dst, src, num_nodes, e_tile=e_tile, s_tile=s_tile, num_src_nodes=num_nodes
+    )
+    # transpose: reduce over src; edges sorted by src
+    perm_t = np.argsort(src, kind="stable")
+    plan_t = build_segment_plan(
+        src[perm_t],
+        dst[perm_t],
+        num_nodes,
+        e_tile=e_tile,
+        s_tile=s_tile,
+        num_src_nodes=num_nodes,
+    )
+    return Graph(
+        src=jnp.asarray(src),
+        dst=jnp.asarray(dst),
+        edge_weight=None if edge_weight is None else jnp.asarray(edge_weight),
+        plan=plan,
+        plan_t=plan_t,
+        perm_t=jnp.asarray(perm_t.astype(np.int32)),
+        num_nodes=int(num_nodes),
+    )

@@ -1,0 +1,25 @@
+from geot_tpu.ops.api import (
+    index_scatter,
+    gather_scatter,
+    gather_weight_scatter,
+    csr_gws,
+    mh_spmm,
+    mh_spmm_transposed,
+    sddmm_coo,
+    segment_spmm,
+    segment_counts,
+)
+from geot_tpu.ops import reference
+
+__all__ = [
+    "index_scatter",
+    "gather_scatter",
+    "gather_weight_scatter",
+    "csr_gws",
+    "mh_spmm",
+    "mh_spmm_transposed",
+    "sddmm_coo",
+    "segment_spmm",
+    "segment_counts",
+    "reference",
+]

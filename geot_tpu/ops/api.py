@@ -1,0 +1,487 @@
+"""Public op API: GeoT's op surface, TPU-native.
+
+Parity with the reference Python op layer (`geot/__init__.py:4-9,21`):
+
+  index_scatter          — `geot/index_scatter.py:5-8`
+  gather_scatter         — `geot/gather_scatter.py:7-39`
+  gather_weight_scatter  — `geot/gather_weight_scatter.py:4-51`
+  csr_gws                — `geot/csr_gws.py:3-37`
+  mh_spmm / mh_spmm_transposed — `geot/mh_spmm.py:4-12`
+  sddmm_coo              — `csrc/cuda/sddmm_coo_kernel.cuh`
+  segment_spmm           — model-facing fused SpMM over a prebuilt Graph
+
+Differences forced by XLA semantics (documented deviations):
+  * `num_segments` is a static argument — GeoT sizes outputs from
+    `index[-1]+1` at runtime (`csrc/index_scatter.cpp:15`), which cannot be
+    a traced value on TPU.
+  * The fast path runs over a precomputed `SegmentPlan` (one-time, like
+    GeoT's coo_to_csr format transform); raw index ops without a plan use
+    the XLA reference backend.
+  * Backward never re-sorts edges: the transpose plan + permutation are
+    precomputed (GeoT re-sorts per backward call,
+    `geot/gather_weight_scatter.py:41`).
+
+Autograd mirrors the reference registrations (`torch.library.register_autograd`):
+  gather_scatter bwd   = transpose gather_scatter           (`geot/gather_scatter.py:26-37`)
+  gather_weight_scatter bwd = (transpose gws, SDDMM)        (`geot/gather_weight_scatter.py:36-49`)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from geot_tpu.graph.plan import SegmentPlan
+from geot_tpu.graph.preprocess import csr_to_coo
+from geot_tpu.graph.structures import Graph
+from geot_tpu.ops import reference as ref
+from geot_tpu.ops.pallas_segment import (
+    plan_segment_sum_sr,
+    plan_segment_sum_pr,
+    plan_segment_sum_mh,
+)
+
+__all__ = [
+    "index_scatter",
+    "gather_scatter",
+    "gather_weight_scatter",
+    "csr_gws",
+    "mh_spmm",
+    "mh_spmm_transposed",
+    "sddmm_coo",
+    "segment_spmm",
+    "segment_counts",
+]
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pick_mode(n_features: int, plan: SegmentPlan) -> str:
+    if n_features <= 16 and plan.s_tile % 128 == 0:
+        return "pr"
+    return "sr"
+
+
+def _pick_f_tile(n_features: int) -> int:
+    return 256 if (n_features % 256 == 0 and n_features >= 256) else 128
+
+
+def _use_pallas(backend: str) -> bool:
+    if backend == "pallas":
+        return True
+    if backend == "reference":
+        return False
+    # auto: pallas on TPU; reference elsewhere (interpret mode is test-only)
+    return jax.default_backend() == "tpu"
+
+
+# ---------------------------------------------------------------------------
+# forward engine (not differentiable by itself)
+# ---------------------------------------------------------------------------
+
+
+def _plan_sum(plan: SegmentPlan, vals_slots: jax.Array, w_slots: jax.Array):
+    """Tiled segment sum of slot-ordered values. vals_slots: [T*E, N]."""
+    n = vals_slots.shape[1]
+    mode = _pick_mode(n, plan)
+    if mode == "pr":
+        n_pad = _round_up(max(n, 1), 8)
+        v_t = vals_slots.T
+        if n_pad != n:
+            v_t = jnp.pad(v_t, ((0, n_pad - n), (0, 0)))
+        out_t = plan_segment_sum_pr(plan, v_t, w_slots)
+        return out_t[:n, : plan.num_segments].T
+    f_tile = _pick_f_tile(n)
+    f_pad = _round_up(max(n, 1), f_tile)
+    v = vals_slots
+    if f_pad != n:
+        v = jnp.pad(v, ((0, 0), (0, f_pad - n)))
+    out = plan_segment_sum_sr(plan, v, w_slots, f_tile=f_tile)
+    return out[: plan.num_segments, :n]
+
+
+def _w_slots(plan: SegmentPlan, w_edge: Optional[jax.Array]) -> jax.Array:
+    if w_edge is None:
+        return plan.mask
+    return plan.mask * w_edge[plan.edge_pos.reshape(-1)].reshape(plan.mask.shape)
+
+
+def _spmm_fwd(plan, x, w_edge, src, dst, use_pallas):
+    """sum_e w_e * x[src_e] grouped by dst_e."""
+    if not use_pallas:
+        if w_edge is None:
+            return ref.gather_scatter_ref(src, dst, x, plan.num_segments)
+        return ref.gather_weight_scatter_ref(src, dst, w_edge, x, plan.num_segments)
+    vals = x[plan.src_slots.reshape(-1)]
+    return _plan_sum(plan, vals, _w_slots(plan, w_edge))
+
+
+def _mh_fwd(plan, x, w_heads, src, dst, use_pallas):
+    """x: [nodes, H, D]; w_heads: [nnz, H] → [num_segments, H, D]."""
+    n_nodes, H, D = x.shape
+    if not use_pallas:
+        return ref.mh_spmm_ref(src, dst, w_heads, x, plan.num_segments)
+    te = plan.src_slots.size
+    vals = x[plan.src_slots.reshape(-1)].reshape(te, H * D)
+    wh = w_heads[plan.edge_pos.reshape(-1)] * plan.mask.reshape(-1)[:, None].astype(
+        w_heads.dtype
+    )
+    f_tile = min(_pick_f_tile(H * D), _round_up(H * D, 128))
+    f_pad = _round_up(H * D, f_tile)
+    if f_pad != H * D or f_tile % D != 0:
+        # pad each head's feature dim so lanes never straddle heads
+        d_pad = _round_up(D, 128)
+        vals = jnp.pad(
+            x[plan.src_slots.reshape(-1)], ((0, 0), (0, 0), (0, d_pad - D))
+        ).reshape(te, H * d_pad)
+        out = plan_segment_sum_mh(plan, vals, wh, d_pad, f_tile=min(128, d_pad))
+        out = out[: plan.num_segments].reshape(plan.num_segments, H, d_pad)[:, :, :D]
+        return out
+    out = plan_segment_sum_mh(plan, vals, wh, D, f_tile=f_tile)
+    return out[: plan.num_segments].reshape(plan.num_segments, H, D)
+
+
+def segment_counts(plan: SegmentPlan, backend: str = "auto") -> jax.Array:
+    """Edges per segment (degree), computed with the PR kernel — the basis
+    for mean reduction."""
+    if not _use_pallas(backend) or plan.s_tile % 128 != 0:
+        return (
+            jnp.zeros(plan.num_segments, jnp.float32)
+            .at[plan.dst_slots.reshape(-1)]
+            .add(plan.mask.reshape(-1), mode="drop")
+        )
+    ones = jnp.ones((8, plan.num_tiles * plan.e_tile), jnp.float32)
+    out_t = plan_segment_sum_pr(plan, ones, plan.mask)
+    return out_t[0, : plan.num_segments]
+
+
+# ---------------------------------------------------------------------------
+# differentiable primitives (sum-reduce; mean/max/min handled at API level)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _make_gs(use_pallas: bool):
+    @jax.custom_vjp
+    def gs(x, src, dst, plan, plan_t, perm_t):
+        return _spmm_fwd(plan, x, None, src, dst, use_pallas)
+
+    def fwd(x, src, dst, plan, plan_t, perm_t):
+        return gs(x, src, dst, plan, plan_t, perm_t), (src, dst, plan_t)
+
+    def bwd(res, g):
+        src, dst, plan_t = res
+        # dx[s] = sum_{e: src_e=s} g[dst_e] — transpose gather_scatter
+        # (reference backward: geot/gather_scatter.py:26-37)
+        dx = _spmm_fwd(plan_t, g, None, dst, src, use_pallas)
+        return (dx, None, None, None, None, None)
+
+    gs.defvjp(fwd, bwd)
+    return gs
+
+
+@functools.lru_cache(maxsize=None)
+def _make_gws(use_pallas: bool):
+    @jax.custom_vjp
+    def gws(x, w, src, dst, plan, plan_t, perm_t):
+        return _spmm_fwd(plan, x, w, src, dst, use_pallas)
+
+    def fwd(x, w, src, dst, plan, plan_t, perm_t):
+        return gws(x, w, src, dst, plan, plan_t, perm_t), (
+            x,
+            w,
+            src,
+            dst,
+            plan_t,
+            perm_t,
+        )
+
+    def bwd(res, g):
+        x, w, src, dst, plan_t, perm_t = res
+        # (reference backward: geot/gather_weight_scatter.py:36-49, but with
+        # the precomputed CSC permutation instead of a per-call sort)
+        if use_pallas:
+            # plan_t.edge_pos indexes src-sorted edge order → permute weights
+            dx = _spmm_fwd(plan_t, g, w[perm_t], dst, src, True)
+        else:
+            dx = ref.gather_weight_scatter_ref(
+                dst, src, w, g, plan_t.num_segments
+            )
+        dw = ref.sddmm_coo_ref(src, dst, g, x).astype(w.dtype)
+        return (dx, dw, None, None, None, None, None)
+
+    gws.defvjp(fwd, bwd)
+    return gws
+
+
+@functools.lru_cache(maxsize=None)
+def _make_mh(use_pallas: bool):
+    @jax.custom_vjp
+    def mh(x, w, src, dst, plan, plan_t, perm_t):
+        return _mh_fwd(plan, x, w, src, dst, use_pallas)
+
+    def fwd(x, w, src, dst, plan, plan_t, perm_t):
+        return mh(x, w, src, dst, plan, plan_t, perm_t), (
+            x,
+            w,
+            src,
+            dst,
+            plan_t,
+            perm_t,
+        )
+
+    def bwd(res, g):
+        x, w, src, dst, plan_t, perm_t = res
+        if use_pallas:
+            dx = _mh_fwd(plan_t, g, w[perm_t], dst, src, True)
+        else:
+            dx = ref.mh_spmm_ref(dst, src, w, g, plan_t.num_segments)
+        # per-head SDDMM: dw[e, h] = <g[dst_e, h], x[src_e, h]>
+        dw = jnp.sum(g[dst] * x[src], axis=-1).astype(w.dtype)
+        return (dx, dw, None, None, None, None, None)
+
+    mh.defvjp(fwd, bwd)
+    return mh
+
+
+@functools.lru_cache(maxsize=None)
+def _make_iscat(use_pallas: bool):
+    @jax.custom_vjp
+    def iscat(vals, dst, plan):
+        if not use_pallas:
+            return ref.segment_reduce_ref(vals, dst, plan.num_segments, "sum")
+        vs = plan.gather_edge_values(vals).reshape(-1, vals.shape[-1])
+        return _plan_sum(plan, vs, plan.mask)
+
+    def fwd(vals, dst, plan):
+        return iscat(vals, dst, plan), (dst,)
+
+    def bwd(res, g):
+        (dst,) = res
+        return (g[dst], None, None)
+
+    iscat.defvjp(fwd, bwd)
+    return iscat
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def _apply_reduce_post(out_sum, plan, reduce, backend):
+    if reduce == "sum":
+        return out_sum
+    if reduce == "mean":
+        deg = segment_counts(plan, backend)
+        return out_sum / jnp.maximum(deg, 1.0)[
+            (...,) + (None,) * (out_sum.ndim - 1)
+        ].astype(out_sum.dtype)
+    raise ValueError(f"unsupported fused reduce {reduce!r}")
+
+
+def index_scatter(
+    src: jax.Array,
+    index: jax.Array,
+    num_segments: int,
+    *,
+    reduce: str = "sum",
+    sorted: bool = True,
+    plan: Optional[SegmentPlan] = None,
+    backend: str = "auto",
+    axis: int = 0,
+) -> jax.Array:
+    """Sorted segment reduction: out[index[i]] ⊕= src[i] along `axis`.
+
+    Reference: `geot/index_scatter.py:5-8` (its `dim` arg is `axis` here;
+    output size comes from static `num_segments`).
+    """
+    if axis != 0:
+        src = jnp.moveaxis(src, axis, 0)
+    up = _use_pallas(backend) and plan is not None and reduce in ("sum", "mean")
+    if up:
+        shape = src.shape
+        vals = src.reshape(shape[0], -1)
+        out = _make_iscat(True)(vals, index, plan)
+        out = _apply_reduce_post(out, plan, reduce, backend)
+        out = out.reshape((out.shape[0],) + shape[1:])
+    else:
+        out = ref.segment_reduce_ref(
+            src, index, num_segments, reduce, indices_are_sorted=sorted
+        )
+    if axis != 0:
+        out = jnp.moveaxis(out, 0, axis)
+    return out
+
+
+def gather_scatter(
+    src_index: jax.Array,
+    dst_index: jax.Array,
+    src: jax.Array,
+    num_segments: int,
+    *,
+    reduce: str = "sum",
+    graph: Optional[Graph] = None,
+    backend: str = "auto",
+) -> jax.Array:
+    """Unweighted fused SpMM over a dst-sorted COO edge list:
+    out[dst[e]] ⊕= src[src[e]]. Reference: `geot/gather_scatter.py:7-39`.
+
+    Pass `graph` (a prebuilt `Graph` whose src/dst match the indices) to hit
+    the Pallas plan path with transpose-plan backward.
+    """
+    if graph is not None and _use_pallas(backend) and reduce in ("sum", "mean"):
+        out = _make_gs(True)(
+            src, graph.src, graph.dst, graph.plan, graph.plan_t, graph.perm_t
+        )
+        return _apply_reduce_post(out, graph.plan, reduce, backend)
+    return ref.gather_scatter_ref(src_index, dst_index, src, num_segments, reduce)
+
+
+def gather_weight_scatter(
+    src_index: jax.Array,
+    dst_index: jax.Array,
+    weight: jax.Array,
+    src: jax.Array,
+    num_segments: int,
+    *,
+    reduce: str = "sum",
+    graph: Optional[Graph] = None,
+    backend: str = "auto",
+) -> jax.Array:
+    """Edge-weighted fused SpMM: out[dst[e]] ⊕= weight[e] * src[src[e]].
+    Reference: `geot/gather_weight_scatter.py:4-51`."""
+    if graph is not None and _use_pallas(backend) and reduce in ("sum", "mean"):
+        out = _make_gws(True)(
+            src, weight, graph.src, graph.dst, graph.plan, graph.plan_t, graph.perm_t
+        )
+        return _apply_reduce_post(out, graph.plan, reduce, backend)
+    return ref.gather_weight_scatter_ref(
+        src_index, dst_index, weight, src, num_segments, reduce
+    )
+
+
+def segment_spmm(
+    graph: Graph,
+    x: jax.Array,
+    edge_weight: Optional[jax.Array] = None,
+    *,
+    reduce: str = "sum",
+    backend: str = "auto",
+) -> jax.Array:
+    """Model-facing fused SpMM over a prebuilt Graph (the role of
+    `message_and_aggregate` + GeoT SpMM in the reference conv layers,
+    `models/conv/spmm.py:5-14`)."""
+    w = edge_weight if edge_weight is not None else graph.edge_weight
+    use_p = _use_pallas(backend) and reduce in ("sum", "mean")
+    if w is None:
+        if use_p:
+            out = _make_gs(True)(
+                x, graph.src, graph.dst, graph.plan, graph.plan_t, graph.perm_t
+            )
+        else:
+            out = ref.gather_scatter_ref(
+                graph.src, graph.dst, x, graph.num_nodes, "sum"
+            )
+    else:
+        if use_p:
+            out = _make_gws(True)(
+                x, w, graph.src, graph.dst, graph.plan, graph.plan_t, graph.perm_t
+            )
+        else:
+            out = ref.gather_weight_scatter_ref(
+                graph.src, graph.dst, w, x, graph.num_nodes, "sum"
+            )
+    if reduce == "sum":
+        return out
+    if reduce == "mean":
+        if use_p:
+            return _apply_reduce_post(out, graph.plan, "mean", backend)
+        deg = (
+            jnp.zeros(graph.num_nodes, x.dtype).at[graph.dst].add(1.0, mode="drop")
+        )
+        return out / jnp.maximum(deg, 1.0)[:, None]
+    # max/min/prod: reference backend only
+    if w is None:
+        return ref.gather_scatter_ref(graph.src, graph.dst, x, graph.num_nodes, reduce)
+    return ref.gather_weight_scatter_ref(
+        graph.src, graph.dst, w, x, graph.num_nodes, reduce
+    )
+
+
+def csr_gws(
+    csrptr: jax.Array,
+    col: jax.Array,
+    weight: jax.Array,
+    src: jax.Array,
+    *,
+    num_rows: Optional[int] = None,
+    graph: Optional[Graph] = None,
+    backend: str = "auto",
+) -> jax.Array:
+    """CSR group-wise-scheduled SpMM (reference `geot/csr_gws.py:3-37`,
+    kernel `csrc/cuda/csr_gws_kernel.cuh:12-187`). The SegmentPlan *is* the
+    nnz-balanced group-wise schedule on TPU (equal-edge tiles + window-
+    confined rows), so with a prebuilt `graph` this is the same plan path;
+    otherwise rows are recovered from the rowptr and the reference backend
+    runs."""
+    if num_rows is None:
+        num_rows = int(csrptr.shape[0]) - 1
+    if graph is not None and _use_pallas(backend):
+        return gather_weight_scatter(
+            col, graph.dst, weight, src, num_rows, graph=graph, backend=backend
+        )
+    return ref.csr_spmm_ref(csrptr, col, weight, src)
+
+
+def mh_spmm(
+    src_index: jax.Array,
+    dst_index: jax.Array,
+    weight: jax.Array,
+    src: jax.Array,
+    num_segments: int,
+    *,
+    reduce: str = "sum",
+    graph: Optional[Graph] = None,
+    backend: str = "auto",
+) -> jax.Array:
+    """Multi-head SpMM for GAT-style attention: src [nodes, H, D],
+    weight [nnz, H] (edge-major). Reference: `geot/mh_spmm.py:4-8`,
+    kernel `csrc/cuda/mh_spmm_kernel.cuh:28-213`."""
+    if reduce != "sum":
+        raise ValueError("mh_spmm supports sum (matching the reference kernel)")
+    if graph is not None and _use_pallas(backend):
+        return _make_mh(True)(
+            src, weight, graph.src, graph.dst, graph.plan, graph.plan_t, graph.perm_t
+        )
+    return ref.mh_spmm_ref(src_index, dst_index, weight, src, num_segments)
+
+
+def mh_spmm_transposed(
+    src_index: jax.Array,
+    dst_index: jax.Array,
+    weight_t: jax.Array,
+    src: jax.Array,
+    num_segments: int,
+    **kw,
+) -> jax.Array:
+    """Head-major weights [H, nnz] (reference `geot/mh_spmm.py:10-12`
+    transposes then calls the edge-major op)."""
+    return mh_spmm(src_index, dst_index, weight_t.T, src, num_segments, **kw)
+
+
+def sddmm_coo(
+    src_index: jax.Array,
+    dst_index: jax.Array,
+    a: jax.Array,
+    b: jax.Array,
+) -> jax.Array:
+    """Per-edge dot product out[e] = <a[dst[e]], b[src[e]]> (reference
+    `sddmm_coo_impl`; two row gathers + a fused rowwise reduction is already
+    bandwidth-optimal under XLA fusion on TPU)."""
+    return ref.sddmm_coo_ref(src_index, dst_index, a, b)

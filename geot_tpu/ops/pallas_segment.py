@@ -1,0 +1,314 @@
+"""Pallas TPU kernels: deterministic tiled sorted-segment reduction.
+
+TPU-native replacement for GeoT's CUDA segment-reduce kernels
+(`csrc/cuda/index_scatter_kernel.cuh:48-201` PR/SR schedules,
+`csrc/cuda/gather_scatter_kernel.cuh`, `csrc/cuda/gather_weight_scatter_kernel.cuh`,
+`csrc/cuda/mh_spmm_kernel.cuh`). Those kernels resolve inter-tile segment
+overlap with atomicAdd; TPUs have no atomics, but Pallas grids execute
+sequentially per core, so we instead:
+
+  1. run over a `SegmentPlan` (see `geot_tpu.graph.plan`): fixed-size edge
+     tiles, each confined to one aligned output window, ordered by window;
+  2. reduce each tile on the MXU with a weighted one-hot matmul
+     ``P = (onehot(local_seg_ids) * w) @ V`` — the TPU idiom for scatter-add;
+  3. accumulate consecutive tiles of the same window in a float32 VMEM
+     scratch and flush each output block exactly once (bit-deterministic —
+     no atomics, no order nondeterminism, unlike the reference whose tests
+     need atol=1e-4 *because* of atomics; SURVEY §5 "Race detection").
+
+Two data layouts mirror GeoT's SR/PR schedule split
+(`csrc/cuda/wrapper/index_scatter_rule.h:3-256`):
+
+  * SR mode (wide features): V is [e_tile, f_tile] — features on lanes,
+    edges on sublanes. One grid axis tiles the feature dim.
+  * PR mode (narrow features, N ≲ 32): V is [n_pad, e_tile] — edges on
+    lanes, features on sublanes; output is produced transposed
+    [n_pad, segments] so the segment axis rides the 128-wide lanes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from geot_tpu.graph.plan import SegmentPlan
+
+__all__ = [
+    "plan_segment_sum_sr",
+    "plan_segment_sum_pr",
+    "plan_segment_sum_mh",
+    "default_interpret",
+]
+
+
+def default_interpret() -> bool:
+    """Interpret Pallas kernels off-TPU (CPU tests exercise kernel logic)."""
+    return jax.default_backend() != "tpu"
+
+
+def _prec(dtype):
+    """MXU precision policy: float32 inputs need multi-pass bf16 passes to
+    preserve f32 accuracy (the one-hot matmul must not round the values);
+    bf16 inputs take the fast single-pass path."""
+    if dtype == jnp.float32:
+        return jax.lax.Precision.HIGHEST
+    return jax.lax.Precision.DEFAULT
+
+
+def _sr_kernel(ob_ref, dst_ref, w_ref, v_ref, o_ref, acc_ref, *, s_tile):
+    t = pl.program_id(1)
+    n_t = pl.num_programs(1)
+    cur = ob_ref[t]
+    first = jnp.logical_or(t == 0, ob_ref[jnp.maximum(t - 1, 0)] != cur)
+    last = jnp.logical_or(t == n_t - 1, ob_ref[jnp.minimum(t + 1, n_t - 1)] != cur)
+
+    local = dst_ref[0, 0, :] - cur * s_tile  # [e_tile] in [0, s_tile)
+    e_tile = local.shape[0]
+    seg_ids = jax.lax.broadcasted_iota(jnp.int32, (s_tile, e_tile), 0)
+    v = v_ref[:]
+    onehot = (seg_ids == local[None, :]).astype(v.dtype) * w_ref[0, 0, :][None, :].astype(
+        v.dtype
+    )
+    part = jnp.dot(
+        onehot, v, preferred_element_type=jnp.float32, precision=_prec(v.dtype)
+    )
+
+    @pl.when(first)
+    def _():
+        acc_ref[:] = part
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        acc_ref[:] = acc_ref[:] + part
+
+    @pl.when(last)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _pr_kernel(ob_ref, dst_ref, w_ref, v_ref, o_ref, acc_ref, *, s_tile):
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+    cur = ob_ref[t]
+    first = jnp.logical_or(t == 0, ob_ref[jnp.maximum(t - 1, 0)] != cur)
+    last = jnp.logical_or(t == n_t - 1, ob_ref[jnp.minimum(t + 1, n_t - 1)] != cur)
+
+    local = dst_ref[0, 0, :] - cur * s_tile  # [e_tile]
+    e_tile = local.shape[0]
+    seg_ids = jax.lax.broadcasted_iota(jnp.int32, (e_tile, s_tile), 1)
+    v = v_ref[:]  # [n_pad, e_tile]
+    onehot_t = (seg_ids == local[:, None]).astype(v.dtype) * w_ref[0, 0, :][:, None].astype(
+        v.dtype
+    )
+    part = jnp.dot(
+        v, onehot_t, preferred_element_type=jnp.float32, precision=_prec(v.dtype)
+    )  # [n_pad, s_tile]
+
+    @pl.when(first)
+    def _():
+        acc_ref[:] = part
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        acc_ref[:] = acc_ref[:] + part
+
+    @pl.when(last)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _mh_kernel(
+    ob_ref, dst_ref, w_ref, v_ref, o_ref, acc_ref, *, s_tile, f_tile, head_dim
+):
+    """SR kernel with per-(edge, head) weights expanded to per-lane weights
+    via a head-selector matmul (replaces the per-element head indexing of
+    `csrc/cuda/mh_spmm_kernel.cuh:28-213`)."""
+    f = pl.program_id(0)
+    t = pl.program_id(1)
+    n_t = pl.num_programs(1)
+    cur = ob_ref[t]
+    first = jnp.logical_or(t == 0, ob_ref[jnp.maximum(t - 1, 0)] != cur)
+    last = jnp.logical_or(t == n_t - 1, ob_ref[jnp.minimum(t + 1, n_t - 1)] != cur)
+
+    v = v_ref[:]  # [e_tile, f_tile]
+    e_tile = v.shape[0]
+    n_heads = w_ref.shape[1]
+    # head of each lane in this feature tile
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n_heads, f_tile), 1)
+    head_of_lane = (f * f_tile + lane) // head_dim
+    head_ids = jax.lax.broadcasted_iota(jnp.int32, (n_heads, f_tile), 0)
+    head_sel = (head_of_lane == head_ids).astype(v.dtype)  # [H, f_tile]
+    w_lane = jnp.dot(
+        w_ref[:].astype(v.dtype),
+        head_sel,
+        preferred_element_type=v.dtype,
+        precision=_prec(v.dtype),
+    )  # [e_tile, f_tile]
+
+    local = dst_ref[0, 0, :] - cur * s_tile
+    seg_ids = jax.lax.broadcasted_iota(jnp.int32, (s_tile, e_tile), 0)
+    onehot = (seg_ids == local[None, :]).astype(v.dtype)
+    part = jnp.dot(
+        onehot,
+        v * w_lane,
+        preferred_element_type=jnp.float32,
+        precision=_prec(v.dtype),
+    )
+
+    @pl.when(first)
+    def _():
+        acc_ref[:] = part
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        acc_ref[:] = acc_ref[:] + part
+
+    @pl.when(last)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def plan_segment_sum_sr(
+    plan: SegmentPlan,
+    vals_slots: jax.Array,  # [T*e_tile, F_pad] slot-ordered edge values
+    w_slots: jax.Array,  # [T, e_tile] per-slot scalar weight (0 on padding)
+    *,
+    f_tile: int = 128,
+    out_dtype=None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """SR-mode tiled segment sum. Returns [n_blocks*s_tile, F_pad]."""
+    if interpret is None:
+        interpret = default_interpret()
+    T, e_tile, s_tile = plan.num_tiles, plan.e_tile, plan.s_tile
+    f_pad = vals_slots.shape[1]
+    assert vals_slots.shape[0] == T * e_tile, (vals_slots.shape, T, e_tile)
+    assert f_pad % f_tile == 0, (f_pad, f_tile)
+    n_f = f_pad // f_tile
+    out_dtype = out_dtype or vals_slots.dtype
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_f, T),
+        in_specs=[
+            pl.BlockSpec((1, 1, e_tile), lambda f, t, ob: (t, 0, 0)),
+            pl.BlockSpec((1, 1, e_tile), lambda f, t, ob: (t, 0, 0)),
+            pl.BlockSpec((e_tile, f_tile), lambda f, t, ob: (t, f)),
+        ],
+        out_specs=pl.BlockSpec((s_tile, f_tile), lambda f, t, ob: (ob[t], f)),
+        scratch_shapes=[pltpu.VMEM((s_tile, f_tile), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_sr_kernel, s_tile=s_tile),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((plan.n_blocks * s_tile, f_pad), out_dtype),
+        interpret=interpret,
+    )(
+        plan.out_block,
+        plan.dst_slots.reshape(T, 1, e_tile),
+        w_slots.reshape(T, 1, e_tile),
+        vals_slots,
+    )
+
+
+def plan_segment_sum_pr(
+    plan: SegmentPlan,
+    vals_slots_t: jax.Array,  # [N_pad, T*e_tile] transposed slot-ordered values
+    w_slots: jax.Array,  # [T, e_tile]
+    *,
+    out_dtype=None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """PR-mode tiled segment sum for narrow features.
+
+    Returns the transposed result [N_pad, n_blocks*s_tile].
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    T, e_tile, s_tile = plan.num_tiles, plan.e_tile, plan.s_tile
+    n_pad = vals_slots_t.shape[0]
+    assert vals_slots_t.shape[1] == T * e_tile
+    out_dtype = out_dtype or vals_slots_t.dtype
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 1, e_tile), lambda t, ob: (t, 0, 0)),
+            pl.BlockSpec((1, 1, e_tile), lambda t, ob: (t, 0, 0)),
+            pl.BlockSpec((n_pad, e_tile), lambda t, ob: (0, t)),
+        ],
+        out_specs=pl.BlockSpec((n_pad, s_tile), lambda t, ob: (0, ob[t])),
+        scratch_shapes=[pltpu.VMEM((n_pad, s_tile), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_pr_kernel, s_tile=s_tile),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, plan.n_blocks * s_tile), out_dtype),
+        interpret=interpret,
+    )(
+        plan.out_block,
+        plan.dst_slots.reshape(T, 1, e_tile),
+        w_slots.reshape(T, 1, e_tile),
+        vals_slots_t,
+    )
+
+
+def plan_segment_sum_mh(
+    plan: SegmentPlan,
+    vals_slots: jax.Array,  # [T*e_tile, F_pad] with F_pad = H*head_dim padded
+    w_heads: jax.Array,  # [T*e_tile, H] per-slot per-head weight (0 on padding)
+    head_dim: int,
+    *,
+    f_tile: int = 128,
+    out_dtype=None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Multi-head SR segment sum: weight varies per (edge, head).
+
+    head_dim must divide or be a multiple of f_tile so each lane's head is
+    well-defined within a feature tile.
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    T, e_tile, s_tile = plan.num_tiles, plan.e_tile, plan.s_tile
+    f_pad = vals_slots.shape[1]
+    f_tile = min(f_tile, f_pad)
+    assert f_pad % f_tile == 0
+    n_f = f_pad // f_tile
+    n_heads = w_heads.shape[1]
+    out_dtype = out_dtype or vals_slots.dtype
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_f, T),
+        in_specs=[
+            pl.BlockSpec((1, 1, e_tile), lambda f, t, ob: (t, 0, 0)),
+            pl.BlockSpec((e_tile, n_heads), lambda f, t, ob: (t, 0)),
+            pl.BlockSpec((e_tile, f_tile), lambda f, t, ob: (t, f)),
+        ],
+        out_specs=pl.BlockSpec((s_tile, f_tile), lambda f, t, ob: (ob[t], f)),
+        scratch_shapes=[pltpu.VMEM((s_tile, f_tile), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _mh_kernel, s_tile=s_tile, f_tile=f_tile, head_dim=head_dim
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((plan.n_blocks * s_tile, f_pad), out_dtype),
+        interpret=interpret,
+    )(
+        plan.out_block,
+        plan.dst_slots.reshape(T, 1, e_tile),
+        w_heads,
+        vals_slots,
+    )

@@ -1,0 +1,191 @@
+"""Op correctness: Pallas plan path (interpret mode on CPU) and reference
+backend vs dense-matmul oracles — tier-1 parity with the reference op tests
+(`test/test_index_scatter.py`, `test_gather_scatter.py`,
+`test_gather_weight_scatter.py`, `test_csr_gws.py`, `test_mh_spmm.py`,
+`test_sddmm.py`). Unlike the reference (atomics ⇒ atol=1e-4), the Pallas
+path is deterministic, so we also check bit-stability across runs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import geot_tpu
+from geot_tpu.graph import build_graph, coo_to_csr
+from geot_tpu.graph.plan import build_segment_plan
+
+
+def _graph(rng, n_nodes, nnz, power=1.0):
+    ranks = np.arange(1, n_nodes + 1, dtype=np.float64)
+    p = ranks ** -power
+    p /= p.sum()
+    dst = np.sort(rng.choice(n_nodes, size=nnz, p=p)).astype(np.int32)
+    src = rng.integers(0, n_nodes, size=nnz, dtype=np.int32)
+    return src, dst
+
+
+def _dense_adj(src, dst, w, n):
+    a = np.zeros((n, n), dtype=np.float64)
+    np.add.at(a, (dst, src), w)
+    return a
+
+
+@pytest.mark.parametrize("n_feat", [1, 7, 16, 32, 100, 128, 200])
+@pytest.mark.parametrize("e_tile,s_tile", [(64, 128), (256, 128)])
+def test_gather_weight_scatter_pallas(n_feat, e_tile, s_tile):
+    rng = np.random.default_rng(42)
+    n, nnz = 300, 2000
+    src, dst = _graph(rng, n, nnz)
+    w = rng.standard_normal(nnz).astype(np.float32)
+    x = rng.standard_normal((n, n_feat)).astype(np.float32)
+    g = build_graph(src, dst, n, edge_weight=w, e_tile=e_tile, s_tile=s_tile,
+                    assume_sorted=True)
+
+    out = geot_tpu.gather_weight_scatter(
+        jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w), jnp.asarray(x),
+        n, graph=g, backend="pallas",
+    )
+    expect = _dense_adj(src, dst, w, n) @ x.astype(np.float64)
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=2e-4, atol=2e-4)
+
+    # determinism (no atomics — exact repeatability)
+    out2 = geot_tpu.gather_weight_scatter(
+        jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w), jnp.asarray(x),
+        n, graph=g, backend="pallas",
+    )
+    assert np.array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_gather_scatter_pallas_and_reference():
+    rng = np.random.default_rng(0)
+    n, nnz, f = 100, 1000, 32
+    src, dst = _graph(rng, n, nnz)
+    x = rng.standard_normal((n, f)).astype(np.float32)
+    g = build_graph(src, dst, n, assume_sorted=True, e_tile=128, s_tile=128)
+    expect = _dense_adj(src, dst, np.ones(nnz), n) @ x.astype(np.float64)
+    for backend in ("pallas", "reference"):
+        out = geot_tpu.gather_scatter(
+            jnp.asarray(src), jnp.asarray(dst), jnp.asarray(x), n,
+            graph=g, backend=backend,
+        )
+        np.testing.assert_allclose(np.asarray(out), expect, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("reduce", ["sum", "mean", "max", "min"])
+def test_index_scatter_reference_reduces(reduce):
+    rng = np.random.default_rng(3)
+    nnz, n_seg, f = 1000, 100, 32
+    idx = np.sort(rng.integers(0, n_seg, nnz)).astype(np.int32)
+    vals = rng.standard_normal((nnz, f)).astype(np.float32)
+    out = geot_tpu.index_scatter(
+        jnp.asarray(vals), jnp.asarray(idx), n_seg, reduce=reduce,
+        backend="reference",
+    )
+    expect = np.zeros((n_seg, f))
+    for s in range(n_seg):
+        rows = vals[idx == s]
+        if len(rows) == 0:
+            continue
+        if reduce == "sum":
+            expect[s] = rows.sum(0)
+        elif reduce == "mean":
+            expect[s] = rows.mean(0)
+        elif reduce == "max":
+            expect[s] = rows.max(0)
+        elif reduce == "min":
+            expect[s] = rows.min(0)
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("reduce", ["sum", "mean"])
+@pytest.mark.parametrize("n_feat", [8, 64])
+def test_index_scatter_pallas(reduce, n_feat):
+    rng = np.random.default_rng(4)
+    nnz, n_seg = 2000, 150
+    idx = np.sort(rng.integers(0, n_seg, nnz)).astype(np.int32)
+    vals = rng.standard_normal((nnz, n_feat)).astype(np.float32)
+    plan = build_segment_plan(idx, None, n_seg, e_tile=128, s_tile=128)
+    out = geot_tpu.index_scatter(
+        jnp.asarray(vals), jnp.asarray(idx), n_seg, reduce=reduce,
+        plan=plan, backend="pallas",
+    )
+    expect = geot_tpu.index_scatter(
+        jnp.asarray(vals), jnp.asarray(idx), n_seg, reduce=reduce,
+        backend="reference",
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("H,D", [(4, 8), (4, 64), (2, 100), (8, 32)])
+def test_mh_spmm(H, D):
+    rng = np.random.default_rng(5)
+    n, nnz = 120, 900
+    src, dst = _graph(rng, n, nnz)
+    w = rng.standard_normal((nnz, H)).astype(np.float32)
+    x = rng.standard_normal((n, H, D)).astype(np.float32)
+    g = build_graph(src, dst, n, assume_sorted=True, e_tile=128, s_tile=128)
+
+    out = geot_tpu.mh_spmm(
+        jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w), jnp.asarray(x),
+        n, graph=g, backend="pallas",
+    )
+    # oracle: eager index_select → mul → index_add (test/test_mh_spmm.py:4-28)
+    expect = np.zeros((n, H, D))
+    np.add.at(expect, dst, x[src] * w[:, :, None])
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=2e-4, atol=2e-4)
+
+    out_t = geot_tpu.mh_spmm_transposed(
+        jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w.T), jnp.asarray(x),
+        n, graph=g, backend="pallas",
+    )
+    np.testing.assert_allclose(np.asarray(out_t), expect, rtol=2e-4, atol=2e-4)
+
+
+def test_csr_gws():
+    rng = np.random.default_rng(6)
+    n, nnz, f = 80, 600, 48
+    src, dst = _graph(rng, n, nnz)
+    w = rng.standard_normal(nnz).astype(np.float32)
+    indptr = coo_to_csr(jnp.asarray(dst), n)  # dst sorted → rows = dst
+    g = build_graph(src, dst, n, edge_weight=w, assume_sorted=True)
+    expect = _dense_adj(src, dst, w, n) @ rng.standard_normal((n, f))
+    x = expect  # placeholder to reuse rng shape; recompute properly below
+    x = rng.standard_normal((n, f)).astype(np.float32)
+    expect = _dense_adj(src, dst, w, n) @ x.astype(np.float64)
+    for backend in ("pallas", "reference"):
+        out = geot_tpu.csr_gws(
+            indptr, jnp.asarray(src), jnp.asarray(w), jnp.asarray(x),
+            graph=g, backend=backend,
+        )
+        np.testing.assert_allclose(np.asarray(out), expect, rtol=2e-4, atol=2e-4)
+
+
+def test_sddmm_coo():
+    rng = np.random.default_rng(7)
+    n, nnz, f = 60, 500, 40
+    src, dst = _graph(rng, n, nnz)
+    a = rng.standard_normal((n, f)).astype(np.float32)
+    b = rng.standard_normal((n, f)).astype(np.float32)
+    out = geot_tpu.sddmm_coo(jnp.asarray(src), jnp.asarray(dst),
+                             jnp.asarray(a), jnp.asarray(b))
+    expect = np.sum(a[dst] * b[src], axis=-1)
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5, atol=1e-5)
+
+
+def test_segment_spmm_mean_and_empty_segments():
+    rng = np.random.default_rng(8)
+    n, nnz, f = 200, 700, 24
+    # leave nodes [150, 200) with no incoming edges
+    dst = np.sort(rng.integers(0, 150, nnz)).astype(np.int32)
+    src = rng.integers(0, n, nnz, dtype=np.int32)
+    x = rng.standard_normal((n, f)).astype(np.float32)
+    g = build_graph(src, dst, n, assume_sorted=True)
+    out = geot_tpu.segment_spmm(g, jnp.asarray(x), reduce="mean",
+                                backend="pallas")
+    expect = np.zeros((n, f))
+    cnt = np.zeros(n)
+    np.add.at(expect, dst, x[src])
+    np.add.at(cnt, dst, 1)
+    expect /= np.maximum(cnt, 1)[:, None]
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=2e-4, atol=2e-4)
