@@ -1,0 +1,83 @@
+"""Headline benchmark: fused SpMM (gather_weight_scatter) throughput on one
+chip, reported as fraction of the HBM roofline.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+`value` is the measured fraction of the chip's HBM-bandwidth roofline for
+the dst-sorted weighted SpMM on an ogbn-arxiv-shaped graph at N=128 (the
+reference's headline op and largest sweep point,
+`benchmark/bench_spmm.py:140-165`). `vs_baseline` normalizes by the
+BASELINE.md target (≥0.80 of roofline), so ≥1.0 means target met.
+
+The bytes model is speed-of-light (each gathered row, index, weight read
+once; output written once) — NOT the implementation's actual traffic — so
+the number is an honest end-to-end efficiency, directly comparable across
+implementations.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from geot_tpu.graph.datasets import DATASET_SHAPES, synthetic_graph
+    from geot_tpu.models.conv import prepare_graph
+    from geot_tpu.ops import api as ops
+    from geot_tpu.utils.roofline import hbm_bandwidth_gbps, spmm_bytes
+    from geot_tpu.utils.timing import timeit
+
+    dataset = os.environ.get("GEOT_BENCH_DATASET", "ogbn-arxiv")
+    n_feat = int(os.environ.get("GEOT_BENCH_FEATURES", "128"))
+    n_nodes, n_edges, _, _ = DATASET_SHAPES[dataset]
+    d = synthetic_graph(n_nodes, n_edges, power=1.0, seed=0, name=dataset)
+    g = prepare_graph(d.src, d.dst, n_nodes, add_self_loops=False)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((n_nodes, n_feat)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal(g.num_edges).astype(np.float32))
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    backend = "pallas" if on_tpu else "reference"
+
+    fn = jax.jit(
+        lambda x, w: ops.gather_weight_scatter(
+            g.src, g.dst, w, x, n_nodes, graph=g, backend=backend
+        )
+    )
+    t = timeit(fn, x, w, warmup=5, iters=50)
+
+    sol_bytes = spmm_bytes(
+        g.num_edges, n_feat, n_nodes, n_nodes, weighted=True, fused_gather=True
+    )
+    bw = hbm_bandwidth_gbps() * 1e9 if on_tpu else 50e9  # CPU placeholder BW
+    frac = (sol_bytes / t) / bw
+    target = 0.80
+    print(
+        json.dumps(
+            {
+                "metric": f"spmm_roofline_fraction[{dataset},N={n_feat}]",
+                "value": round(frac, 4),
+                "unit": "fraction_of_hbm_roofline",
+                "vs_baseline": round(frac / target, 4),
+                "extra": {
+                    "time_ms": round(t * 1e3, 4),
+                    "edges_per_s": round(g.num_edges / t, 1),
+                    "backend": backend,
+                    "device": str(jax.devices()[0].device_kind),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,153 @@
+"""Op microbenchmark sweep: datasets × feature sizes × backends → CSV.
+
+TPU counterpart of the reference's op benchmarks
+(`benchmark/bench_index_scatter.py:100-112`: 8 datasets × N ∈ {1..128} vs
+pyg/torch/triton baselines → `benchop_index_scatter.csv`;
+`benchmark/bench_spmm.py:140-165` → `benchop_spmm.csv`). Baselines here are
+the XLA-native alternatives a JAX user would otherwise write:
+`jax.ops.segment_sum` (sorted) and scatter-add (`.at[].add`), playing the
+role of pyg_scatter / torch index_add_.
+
+Usage:
+  python benchmarks/bench_ops.py --op spmm --datasets cora flickr \
+      --features 32 64 128 --iters 50 --out benchop_spmm.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_DATASETS = [
+    "cora",
+    "citeseer",
+    "pubmed",
+    "amazon_photo",
+    "flickr",
+    "ogbn-arxiv",
+]
+DEFAULT_FEATURES = [1, 2, 4, 8, 16, 32, 64, 128]
+
+
+def run(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from geot_tpu.graph.datasets import DATASET_SHAPES, synthetic_graph
+    from geot_tpu.models.conv import prepare_graph
+    from geot_tpu.ops import api as ops
+    from geot_tpu.ops import reference as ref
+    from geot_tpu.utils.roofline import spmm_bytes
+    from geot_tpu.utils.timing import timeit
+
+    on_accel = jax.default_backend() != "cpu"
+    rows = []
+    for name in args.datasets:
+        n_nodes, n_edges, _, _ = DATASET_SHAPES[name]
+        if args.max_edges and n_edges > args.max_edges:
+            print(f"skip {name} ({n_edges} edges > --max-edges)")
+            continue
+        d = synthetic_graph(n_nodes, n_edges, power=1.0, seed=0)
+        g = prepare_graph(d.src, d.dst, n_nodes, add_self_loops=False)
+        dst_sorted = np.sort(d.dst)
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(rng.standard_normal(g.num_edges).astype(np.float32))
+        for n_feat in args.features:
+            x = jnp.asarray(
+                rng.standard_normal((n_nodes, n_feat)).astype(np.float32)
+            )
+            ev = jnp.asarray(
+                rng.standard_normal((g.num_edges, n_feat)).astype(np.float32)
+            )
+            if args.op == "spmm":
+                variants = {
+                    "geot_pallas" if on_accel else "geot_interpret": jax.jit(
+                        lambda x, w: ops.gather_weight_scatter(
+                            g.src, g.dst, w, x, n_nodes, graph=g, backend="pallas"
+                        )
+                    ),
+                    "xla_segment_sum": jax.jit(
+                        lambda x, w: ref.gather_weight_scatter_ref(
+                            g.src, g.dst, w, x, n_nodes
+                        )
+                    ),
+                    "xla_scatter_add": jax.jit(
+                        lambda x, w: jnp.zeros((n_nodes, x.shape[1]), x.dtype)
+                        .at[g.dst]
+                        .add(x[g.src] * w[:, None])
+                    ),
+                    "args": (x, w),
+                }
+            else:  # index_scatter
+                idx = jnp.asarray(dst_sorted)
+                plan = g.plan
+                variants = {
+                    "geot_pallas" if on_accel else "geot_interpret": jax.jit(
+                        lambda v: ops.index_scatter(
+                            v, jnp.asarray(np.asarray(g.dst)), n_nodes,
+                            plan=plan, backend="pallas",
+                        )
+                    ),
+                    "xla_segment_sum": jax.jit(
+                        lambda v: jax.ops.segment_sum(
+                            v, idx, n_nodes, indices_are_sorted=True
+                        )
+                    ),
+                    "xla_scatter_add": jax.jit(
+                        lambda v: jnp.zeros((n_nodes, v.shape[1]), v.dtype)
+                        .at[idx]
+                        .add(v)
+                    ),
+                    "args": (ev,),
+                }
+            call_args = variants.pop("args")
+            for vname, fn in variants.items():
+                try:
+                    t = timeit(fn, *call_args, warmup=3, iters=args.iters)
+                except Exception as exc:  # keep sweeping
+                    print(f"{name} N={n_feat} {vname}: FAILED {exc}")
+                    continue
+                gbps = (
+                    spmm_bytes(g.num_edges, n_feat, n_nodes, n_nodes) / t / 1e9
+                )
+                rows.append(
+                    dict(
+                        dataset=name,
+                        op=args.op,
+                        variant=vname,
+                        features=n_feat,
+                        nnz=g.num_edges,
+                        time_ms=round(t * 1e3, 4),
+                        effective_gbps=round(gbps, 2),
+                    )
+                )
+                print(rows[-1])
+    if args.out and rows:
+        write_header = not os.path.exists(args.out)
+        with open(args.out, "a", newline="") as f:
+            wtr = csv.DictWriter(f, fieldnames=list(rows[0]))
+            if write_header:
+                wtr.writeheader()
+            wtr.writerows(rows)
+        print(f"wrote {len(rows)} rows to {args.out}")
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--op", choices=["spmm", "index_scatter"], default="spmm")
+    p.add_argument("--datasets", nargs="+", default=DEFAULT_DATASETS)
+    p.add_argument("--features", nargs="+", type=int, default=DEFAULT_FEATURES)
+    p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--max-edges", type=int, default=0)
+    p.add_argument("--out", default="")
+    run(p.parse_args())
+
+
+if __name__ == "__main__":
+    main()

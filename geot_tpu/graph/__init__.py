@@ -12,6 +12,7 @@ from geot_tpu.graph.datasets import (
     GraphData,
     load_npz,
     synthetic_graph,
+    synthetic_classification_graph,
     get_dataset,
     DATASET_SHAPES,
 )
@@ -31,6 +32,7 @@ __all__ = [
     "GraphData",
     "load_npz",
     "synthetic_graph",
+    "synthetic_classification_graph",
     "get_dataset",
     "DATASET_SHAPES",
 ]

@@ -16,7 +16,14 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["GraphData", "load_npz", "synthetic_graph", "DATASET_SHAPES", "get_dataset"]
+__all__ = [
+    "GraphData",
+    "load_npz",
+    "synthetic_graph",
+    "synthetic_classification_graph",
+    "DATASET_SHAPES",
+    "get_dataset",
+]
 
 
 @dataclasses.dataclass
@@ -105,6 +112,53 @@ def synthetic_graph(
         train[idx[:n_tr]] = True
         val[idx[n_tr : n_tr + n_va]] = True
         test[idx[n_tr + n_va :]] = True
+    return GraphData(
+        src=src, dst=dst, num_nodes=num_nodes, x=x, y=y,
+        train_mask=train, val_mask=val, test_mask=test, name=name,
+    )
+
+
+def synthetic_classification_graph(
+    num_nodes: int,
+    num_edges: int,
+    num_classes: int,
+    *,
+    feat_dim: Optional[int] = None,
+    homophily: float = 0.9,
+    feature_noise: float = 0.5,
+    seed: int = 0,
+    name: str = "synthetic-cls",
+) -> GraphData:
+    """Homophilous labeled graph for training-convergence tests: a fraction
+    `homophily` of edges connect same-class nodes and features are a noisy
+    class one-hot, so GNN neighbor aggregation *adds* signal (the regime
+    Planetoid/OGB node-classification graphs live in)."""
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, num_classes, size=num_nodes).astype(np.int32)
+    by_class = [np.where(y == c)[0] for c in range(num_classes)]
+    dst = rng.integers(0, num_nodes, size=num_edges).astype(np.int32)
+    same = rng.random(num_edges) < homophily
+    src = np.empty(num_edges, dtype=np.int32)
+    rand_src = rng.integers(0, num_nodes, size=num_edges).astype(np.int32)
+    for c in range(num_classes):
+        sel = same & (y[dst] == c)
+        pool = by_class[c]
+        if len(pool):
+            src[sel] = pool[rng.integers(0, len(pool), size=int(sel.sum()))]
+        else:
+            src[sel] = rand_src[sel]
+    src[~same] = rand_src[~same]
+    f = feat_dim or num_classes
+    x = feature_noise * rng.standard_normal((num_nodes, f)).astype(np.float32)
+    x[:, :num_classes] += np.eye(num_classes, dtype=np.float32)[y]
+    idx = rng.permutation(num_nodes)
+    n_tr, n_va = int(0.6 * num_nodes), int(0.2 * num_nodes)
+    train = np.zeros(num_nodes, dtype=bool)
+    val = np.zeros(num_nodes, dtype=bool)
+    test = np.zeros(num_nodes, dtype=bool)
+    train[idx[:n_tr]] = True
+    val[idx[n_tr : n_tr + n_va]] = True
+    test[idx[n_tr + n_va :]] = True
     return GraphData(
         src=src, dst=dst, num_nodes=num_nodes, x=x, y=y,
         train_mask=train, val_mask=val, test_mask=test, name=name,

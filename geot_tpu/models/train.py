@@ -1,0 +1,150 @@
+"""Training loop, evaluation, and checkpointing for node classification.
+
+The reference only *times* its models (`models/gcn.py:55-60` — no optimizer,
+no checkpoint anywhere; SURVEY §5 "Checkpoint / resume: none"). The TPU
+framework's accuracy targets (BASELINE.md: GCN accuracy parity on
+OGB/Planetoid) require real training, so this module supplies an optax
+train step, full-graph evaluation, and orbax-free pytree checkpointing.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from geot_tpu.graph.structures import Graph
+
+__all__ = [
+    "cross_entropy_loss",
+    "accuracy",
+    "make_train_step",
+    "train_node_classifier",
+    "save_checkpoint",
+    "load_checkpoint",
+]
+
+
+def cross_entropy_loss(
+    logits: jax.Array, labels: jax.Array, mask: jax.Array
+) -> jax.Array:
+    """Masked mean softmax cross-entropy over the train split."""
+    ls = jax.nn.log_softmax(logits.astype(jnp.float32))
+    nll = -jnp.take_along_axis(ls, labels[:, None].astype(jnp.int32), axis=1)[:, 0]
+    m = mask.astype(jnp.float32)
+    return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def accuracy(logits: jax.Array, labels: jax.Array, mask: jax.Array) -> jax.Array:
+    pred = jnp.argmax(logits, axis=-1)
+    m = mask.astype(jnp.float32)
+    return jnp.sum((pred == labels).astype(jnp.float32) * m) / jnp.maximum(
+        jnp.sum(m), 1.0
+    )
+
+
+def make_train_step(model, tx: optax.GradientTransformation, *, has_dropout: bool):
+    """Returns a jitted (params, opt_state, rng, x, graph, y, mask) step."""
+
+    @jax.jit
+    def step(params, opt_state, rng, x, graph, y, mask):
+        rng, drop_rng = jax.random.split(rng)
+
+        def loss_fn(p):
+            kwargs = {"deterministic": False} if has_dropout else {}
+            rngs = {"dropout": drop_rng} if has_dropout else {}
+            logits = model.apply(p, x, graph, rngs=rngs, **kwargs)
+            return cross_entropy_loss(logits, y, mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, rng, loss
+
+    return step
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _eval(model, params, x, graph, y, masks):
+    logits = model.apply(params, x, graph)
+    return tuple(accuracy(logits, y, m) for m in masks)
+
+
+def train_node_classifier(
+    model,
+    graph: Graph,
+    x: jax.Array,
+    y: jax.Array,
+    train_mask: jax.Array,
+    val_mask: Optional[jax.Array] = None,
+    test_mask: Optional[jax.Array] = None,
+    *,
+    epochs: int = 200,
+    lr: float = 0.01,
+    weight_decay: float = 5e-4,
+    seed: int = 0,
+    log_every: int = 0,
+    checkpoint_path: Optional[str] = None,
+) -> Tuple[Any, Dict[str, float]]:
+    """Full-graph training. Returns (params, metrics)."""
+    rng = jax.random.PRNGKey(seed)
+    rng, init_rng = jax.random.split(rng)
+    params = model.init(init_rng, x, graph)
+    tx = optax.adamw(lr, weight_decay=weight_decay)
+    opt_state = tx.init(params)
+    has_dropout = getattr(model, "dropout_rate", 0.0) > 0.0
+    step = make_train_step(model, tx, has_dropout=has_dropout)
+
+    best_val, best_params = -1.0, params
+    masks = [train_mask] + [m for m in (val_mask, test_mask) if m is not None]
+    loss = jnp.zeros(())
+    for epoch in range(epochs):
+        params, opt_state, rng, loss = step(
+            params, opt_state, rng, x, graph, y, train_mask
+        )
+        if val_mask is not None and (epoch % 10 == 9 or epoch == epochs - 1):
+            accs = _eval(model, params, x, graph, y, tuple(masks))
+            if float(accs[1]) > best_val:
+                best_val, best_params = float(accs[1]), params
+            if log_every and epoch % log_every == log_every - 1:
+                print(
+                    f"epoch {epoch + 1}: loss={float(loss):.4f} "
+                    + " ".join(f"acc{i}={float(a):.4f}" for i, a in enumerate(accs))
+                )
+    final = best_params if val_mask is not None else params
+    accs = _eval(model, final, x, graph, y, tuple(masks))
+    metrics = {"loss": float(loss), "train_acc": float(accs[0])}
+    if val_mask is not None:
+        metrics["val_acc"] = float(accs[1])
+    if test_mask is not None:
+        metrics["test_acc"] = float(accs[-1])
+    if checkpoint_path:
+        save_checkpoint(checkpoint_path, final, metrics)
+    return final, metrics
+
+
+def save_checkpoint(path: str, params, metadata: Optional[dict] = None) -> None:
+    """Pickle-free pytree checkpoint: leaves as .npy inside an .npz plus a
+    treedef pickle (params only — no code objects)."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(
+        path,
+        *[np.asarray(l) for l in leaves],
+        __treedef__=np.frombuffer(pickle.dumps(treedef), dtype=np.uint8),
+        __meta__=np.frombuffer(pickle.dumps(metadata or {}), dtype=np.uint8),
+    )
+
+
+def load_checkpoint(path: str):
+    d = np.load(path if path.endswith(".npz") else path + ".npz", allow_pickle=False)
+    treedef = pickle.loads(d["__treedef__"].tobytes())
+    meta = pickle.loads(d["__meta__"].tobytes())
+    leaves = [d[k] for k in d.files if not k.startswith("__")]
+    return jax.tree_util.tree_unflatten(treedef, [jnp.asarray(l) for l in leaves]), meta

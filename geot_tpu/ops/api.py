@@ -52,6 +52,7 @@ __all__ = [
     "mh_spmm",
     "mh_spmm_transposed",
     "sddmm_coo",
+    "segment_softmax",
     "segment_spmm",
     "segment_counts",
 ]
@@ -473,6 +474,34 @@ def mh_spmm_transposed(
     """Head-major weights [H, nnz] (reference `geot/mh_spmm.py:10-12`
     transposes then calls the edge-major op)."""
     return mh_spmm(src_index, dst_index, weight_t.T, src, num_segments, **kw)
+
+
+def segment_softmax(
+    logits: jax.Array,
+    index: jax.Array,
+    num_segments: int,
+    *,
+    indices_are_sorted: bool = True,
+) -> jax.Array:
+    """Softmax of per-edge logits within each destination segment — the
+    attention normalization feeding `mh_spmm` in GAT-style models (the
+    reference reaches it through PyG's `softmax` before its mh_spmm pattern,
+    `geot/match_replace/fused_mh_spmm.py:4-50`).
+
+    logits: [nnz] or [nnz, H]; index: [nnz] dst ids (sorted ascending).
+    Numerically stabilized by per-segment max subtraction. Cheap relative to
+    the SpMM (O(nnz·H) elementwise + two segment reductions), so it runs on
+    the XLA reference path.
+    """
+    m = jax.ops.segment_max(
+        logits, index, num_segments, indices_are_sorted=indices_are_sorted
+    )
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    e = jnp.exp(logits - m[index])
+    s = jax.ops.segment_sum(
+        e, index, num_segments, indices_are_sorted=indices_are_sorted
+    )
+    return e / jnp.maximum(s, 1e-16)[index]
 
 
 def sddmm_coo(

@@ -1,0 +1,175 @@
+"""Multi-chip SpMM: padded all-to-all halo exchange + local segment reduce.
+
+New-design component (the reference is single-GPU, SURVEY §2.7). Execution
+of one distributed aggregation `out[d] = Σ_e w_e · x[s_e]` on a mesh axis
+'parts' (P chips), with the graph pre-partitioned by `partition_graph`:
+
+  1. each chip gathers the rows its peers need from its local feature shard
+     and exchanges them with ONE `lax.all_to_all` (rides ICI; payload is the
+     halo schedule's padded slots, not the full feature matrix);
+  2. local edges read sources from the receive buffer and reduce into the
+     chip's own destination rows via the same Pallas segment-sum kernels as
+     the single-chip path — outputs are final, no cross-chip combine.
+
+Backward is the mirror image (custom_vjp): partial gradients are reduced
+*by receive-buffer position* (transpose plan), all-to-all'd back to the
+owners, and scatter-added into the local gradient shard. All collectives
+are XLA collectives inside `shard_map`; no other communication exists.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from geot_tpu.graph.plan import SegmentPlan
+from geot_tpu.ops import reference as ref
+from geot_tpu.ops.pallas_segment import plan_segment_sum_sr
+from geot_tpu.parallel.partition import PartitionedGraph
+
+__all__ = ["halo_spmm", "node_sharding", "pad_nodes"]
+
+
+def node_sharding(mesh: Mesh, axis: str = "parts") -> NamedSharding:
+    """Sharding for node-indexed arrays: rows split over the mesh axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def pad_nodes(x: jax.Array, pg: PartitionedGraph) -> jax.Array:
+    """Pad a [num_nodes, ...] array to the partition's padded node count."""
+    pad = pg.padded_nodes - x.shape[0]
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+
+
+def _unbatch_plan(plan: SegmentPlan) -> SegmentPlan:
+    """Strip the leading parts axis (size 1 inside shard_map)."""
+    return SegmentPlan(
+        src_slots=plan.src_slots[0],
+        dst_slots=plan.dst_slots[0],
+        edge_pos=plan.edge_pos[0],
+        mask=plan.mask[0],
+        out_block=plan.out_block[0],
+        e_tile=plan.e_tile,
+        s_tile=plan.s_tile,
+        num_segments=plan.num_segments,
+        n_blocks=plan.n_blocks,
+        num_edges=plan.num_edges,
+        num_src_nodes=plan.num_src_nodes,
+    )
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _local_reduce(plan: SegmentPlan, xr: jax.Array, w_slots: jax.Array, use_pallas):
+    """Segment-sum xr[src_slots] * w into [num_segments, F]."""
+    vals = xr[plan.src_slots.reshape(-1)]
+    if not use_pallas:
+        return (
+            jnp.zeros((plan.num_segments, xr.shape[1]), jnp.float32)
+            .at[plan.dst_slots.reshape(-1)]
+            .add(vals * w_slots.reshape(-1)[:, None], mode="drop")
+            .astype(xr.dtype)
+        )
+    n = xr.shape[1]
+    f_tile = 128 if n % 128 == 0 else None
+    if f_tile is None:
+        f_pad = _round_up(max(n, 1), 128)
+        vals = jnp.pad(vals, ((0, 0), (0, f_pad - n)))
+    out = plan_segment_sum_sr(plan, vals, w_slots.reshape(plan.mask.shape))
+    return out[: plan.num_segments, :n]
+
+
+def _use_pallas(backend: str) -> bool:
+    if backend == "pallas":
+        return True
+    if backend == "reference":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def halo_spmm(
+    x: jax.Array,
+    pg: PartitionedGraph,
+    mesh: Mesh,
+    *,
+    axis: str = "parts",
+    backend: str = "auto",
+) -> jax.Array:
+    """Distributed weighted SpMM over a partitioned graph.
+
+    x: [padded_nodes, F] sharded (or shardable) over `axis`. Returns the
+    aggregated features with the same sharding. Differentiable (w.r.t. x;
+    edge weights are baked into the partition plan).
+    """
+    use_pallas = _use_pallas(backend)
+    spec_nodes = P(axis)
+    spec_parts = P(axis)  # leading part axis on pg arrays
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec_nodes, spec_parts),
+        out_specs=spec_nodes,
+        check_vma=False,
+    )
+    def fwd_local(x_local, pg_local):
+        # x_local: [nodes_per_part, F]
+        plan = _unbatch_plan(pg_local.plan)
+        send_idx = pg_local.send_idx[0]  # [P, H]
+        send_mask = pg_local.send_mask[0]  # [P, H]
+        send_buf = x_local[jnp.minimum(send_idx, x_local.shape[0] - 1)]
+        send_buf = send_buf * send_mask[..., None].astype(send_buf.dtype)
+        recv = jax.lax.all_to_all(
+            send_buf, axis, split_axis=0, concat_axis=0, tiled=True
+        )  # [P, H, F] — recv[q, i] = row i sent by part q
+        recv = recv.reshape(-1, recv.shape[-1])  # [P*H, F]
+        return _local_reduce(plan, recv, pg_local.w_slots[0], use_pallas)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec_nodes, spec_parts),
+        out_specs=spec_nodes,
+        check_vma=False,
+    )
+    def bwd_local(g_local, pg_local):
+        # g_local: [nodes_per_part, F] — incoming cotangent of the output.
+        plan_t = _unbatch_plan(pg_local.plan_t)
+        # partial gradient per receive-buffer position: [P*H, F]
+        h = _local_reduce(plan_t, g_local, pg_local.w_slots_t[0], use_pallas)
+        # return each partial to the part that owns the row (reverse exchange)
+        h = h.reshape(pg_local.send_idx.shape[1], pg_local.halo, -1)  # [P, H, F]
+        back = jax.lax.all_to_all(
+            h, axis, split_axis=0, concat_axis=0, tiled=True
+        )  # [P, H, F] — back[q, i] = grad for my send slot i, from part q
+        back = back.reshape(-1, back.shape[-1])  # [P*H, F]
+        send_idx = pg_local.send_idx[0].reshape(-1)  # [P*H]
+        npp = pg_local.nodes_per_part
+        return (
+            jnp.zeros((npp, g_local.shape[1]), jnp.float32)
+            .at[send_idx]
+            .add(back.astype(jnp.float32), mode="drop")
+            .astype(g_local.dtype)
+        )
+
+    @jax.custom_vjp
+    def op(x):
+        return fwd_local(x, pg)
+
+    def op_fwd(x):
+        return op(x), None
+
+    def op_bwd(_, g):
+        return (bwd_local(g, pg),)
+
+    op.defvjp(op_fwd, op_bwd)
+    return op(x)

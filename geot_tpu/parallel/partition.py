@@ -1,0 +1,251 @@
+"""Graph partitioning for multi-chip execution.
+
+The reference has no distributed layer (SURVEY §2.7 — single-GPU only);
+this is the new-design component the TPU framework adds: contiguous
+destination-range partitioning of a dst-sorted edge list across a device
+mesh, with a precomputed **halo exchange schedule** so each chip fetches
+only the remote source rows its edges actually touch (a padded all-to-all,
+not a full all_gather).
+
+Partition invariants (P parts, nodes padded to P*nodes_per_part):
+  * part p owns destination rows [p*npp, (p+1)*npp) — because edges are
+    dst-sorted, its edge list is a contiguous slice; the segment-reduce
+    output needs no cross-chip combining.
+  * every part's local edges reference sources through a *receive buffer*
+    of shape [P, H]: slot (q, i) holds the i-th row part q sends here.
+    `send_idx[p, q, i]` = local row part p sends to part q in slot i.
+  * per-part SegmentPlans are padded to identical static shapes so the same
+    program runs on every chip under shard_map.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geot_tpu.graph.plan import SegmentPlan, build_segment_plan
+
+__all__ = ["PartitionedGraph", "partition_graph"]
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _stack_plans(plans, num_segments, n_blocks, num_src) -> SegmentPlan:
+    """Stack per-part plans (already padded to equal tile counts) into one
+    SegmentPlan whose array fields carry a leading part axis."""
+    return SegmentPlan(
+        src_slots=jnp.stack([p.src_slots for p in plans]),
+        dst_slots=jnp.stack([p.dst_slots for p in plans]),
+        edge_pos=jnp.stack([p.edge_pos for p in plans]),
+        mask=jnp.stack([p.mask for p in plans]),
+        out_block=jnp.stack([p.out_block for p in plans]),
+        e_tile=plans[0].e_tile,
+        s_tile=plans[0].s_tile,
+        num_segments=num_segments,
+        n_blocks=n_blocks,
+        num_edges=max(p.num_edges for p in plans),
+        num_src_nodes=num_src,
+    )
+
+
+def _pad_plan_tiles(plan: SegmentPlan, num_tiles: int, n_blocks: int) -> SegmentPlan:
+    """Append all-padding tiles (targeting the last covered window, or new
+    empty windows) so every part reaches the same tile/block count."""
+    t0 = plan.num_tiles
+    extra = num_tiles - t0
+    if extra == 0 and plan.n_blocks == n_blocks:
+        return plan
+    # distribute the extra coverage tiles over any windows beyond the part's
+    # own n_blocks first (each needs >=1 tile for output init), then repeat
+    # the final window.
+    blocks = list(np.asarray(plan.out_block))
+    new_blocks = list(range(plan.n_blocks, n_blocks))
+    while len(new_blocks) < extra:
+        new_blocks.append(n_blocks - 1 if n_blocks else 0)
+    new_blocks = new_blocks[:extra]
+    assert len(new_blocks) == extra and sorted(new_blocks) == new_blocks
+    e_tile = plan.e_tile
+    pad_dst = (
+        np.asarray(new_blocks, np.int32)[:, None] * plan.s_tile
+    ) * np.ones((1, e_tile), np.int32)
+    z = np.zeros((extra, e_tile), np.int32)
+    return SegmentPlan(
+        src_slots=jnp.concatenate([plan.src_slots, jnp.asarray(z)]),
+        dst_slots=jnp.concatenate([plan.dst_slots, jnp.asarray(pad_dst)]),
+        edge_pos=jnp.concatenate([plan.edge_pos, jnp.asarray(z)]),
+        mask=jnp.concatenate([plan.mask, jnp.zeros((extra, e_tile), jnp.float32)]),
+        out_block=jnp.concatenate(
+            [plan.out_block, jnp.asarray(np.asarray(new_blocks, np.int32))]
+        ),
+        e_tile=plan.e_tile,
+        s_tile=plan.s_tile,
+        num_segments=plan.num_segments,
+        n_blocks=n_blocks,
+        num_edges=plan.num_edges,
+        num_src_nodes=plan.num_src_nodes,
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PartitionedGraph:
+    """Per-part plans + halo schedule, array fields batched over parts.
+
+    plan:   forward SegmentPlan; src_slots hold *receive-buffer positions*
+            (q*H + i), dst_slots hold part-local destinations.
+    plan_t: transpose plan grouping local edges by receive-buffer position
+            (drives the backward scatter of gradients to feature owners).
+    send_idx:  [P, P, H] int32 — local row sent to peer q, slot i (npp = drop).
+    send_mask: [P, P, H] float32 — 1.0 where the slot is a real row.
+    w_slots:   [P, T, e_tile] float32 — per-slot edge weight (mask included),
+               forward slot order.
+    w_slots_t: [P, T_t, e_tile] — same, transpose slot order.
+    """
+
+    plan: SegmentPlan
+    plan_t: SegmentPlan
+    send_idx: jax.Array
+    send_mask: jax.Array
+    w_slots: jax.Array
+    w_slots_t: jax.Array
+    num_parts: int = dataclasses.field(metadata=dict(static=True))
+    nodes_per_part: int = dataclasses.field(metadata=dict(static=True))
+    halo: int = dataclasses.field(metadata=dict(static=True))
+    num_nodes: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def padded_nodes(self) -> int:
+        return self.num_parts * self.nodes_per_part
+
+
+def partition_graph(
+    src,
+    dst,
+    num_nodes: int,
+    num_parts: int,
+    *,
+    edge_weight=None,
+    e_tile: int = 256,
+    s_tile: int = 256,
+) -> PartitionedGraph:
+    """Host-side partitioning of a COO edge list (any order) into
+    `num_parts` dst-contiguous parts with a halo exchange schedule.
+
+    Weights (if given) are baked into the plan's slot weights — pass the
+    final aggregation weights (e.g. GCN-normalized; see
+    `geot_tpu.models.gcn_edge_weight` computed on the full graph first).
+    """
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    w = None if edge_weight is None else np.asarray(edge_weight, np.float32)
+    order = np.argsort(dst, kind="stable")
+    src, dst = src[order], dst[order]
+    if w is not None:
+        w = w[order]
+
+    P = int(num_parts)
+    npp = _cdiv(max(num_nodes, 1), P)
+    # per-part contiguous edge ranges (dst-sorted ⇒ searchsorted bounds)
+    bounds = np.searchsorted(dst, np.arange(0, (P + 1) * npp, npp))
+
+    # halo schedule: unique sources each part needs from each owner
+    send_lists = [[[] for _ in range(P)] for _ in range(P)]  # [owner][dest_part]
+    recv_pos_parts = []
+    local_dst_parts = []
+    w_parts = []
+    for p in range(P):
+        lo, hi = bounds[p], bounds[p + 1]
+        s_p, d_p = src[lo:hi], dst[lo:hi]
+        w_p = None if w is None else w[lo:hi]
+        owner = s_p // npp
+        # unique (owner, local_src) pairs → slot within that owner's send list
+        uniq, inv = np.unique(s_p, return_inverse=True)
+        uo = uniq // npp
+        slot_of_uniq = np.empty(len(uniq), np.int64)
+        for q in range(P):
+            sel = np.where(uo == q)[0]
+            slot_of_uniq[sel] = np.arange(len(sel))
+            send_lists[q][p] = (uniq[sel] - q * npp).astype(np.int64)
+        recv_pos_parts.append((uo[inv], slot_of_uniq[inv]))
+        local_dst_parts.append(d_p - p * npp)
+        w_parts.append(w_p)
+        del owner
+
+    H = max(
+        (len(send_lists[q][p]) for q in range(P) for p in range(P)), default=1
+    )
+    H = max(H, 1)
+    # round H up to a lane multiple so [P*H] reductions tile cleanly
+    H = _cdiv(H, 8) * 8
+
+    send_idx = np.full((P, P, H), npp, dtype=np.int32)  # npp ⇒ dropped slot
+    send_mask = np.zeros((P, P, H), dtype=np.float32)
+    for q in range(P):
+        for p in range(P):
+            lst = send_lists[q][p]
+            send_idx[q, p, : len(lst)] = lst
+            send_mask[q, p, : len(lst)] = 1.0
+
+    # per-part plans over (recv_pos → local dst)
+    halo_total = P * H
+    fwd_plans, bwd_plans = [], []
+    w_slot_parts, w_slot_t_parts = [], []
+    for p in range(P):
+        owner_q, slot = recv_pos_parts[p]
+        recv_pos = (owner_q * H + slot).astype(np.int64)
+        d_loc = local_dst_parts[p]
+        w_p = w_parts[p]
+        fwd = build_segment_plan(
+            d_loc, recv_pos, npp, e_tile=e_tile, s_tile=s_tile,
+            num_src_nodes=halo_total,
+        )
+        # transpose: group by recv_pos (backward scatters into the recv buffer)
+        tperm = np.argsort(recv_pos, kind="stable")
+        bwd = build_segment_plan(
+            recv_pos[tperm], d_loc[tperm], halo_total,
+            e_tile=e_tile, s_tile=s_tile, num_src_nodes=npp,
+        )
+        fwd_plans.append(fwd)
+        bwd_plans.append(bwd)
+        for plan, ww, out in (
+            (fwd, w_p, w_slot_parts),
+            (bwd, None if w_p is None else w_p[tperm], w_slot_t_parts),
+        ):
+            if ww is None:
+                out.append(np.asarray(plan.mask))
+            else:
+                ep = np.asarray(plan.edge_pos).reshape(-1)
+                ws = ww[np.minimum(ep, len(ww) - 1)].reshape(plan.mask.shape)
+                out.append(ws * np.asarray(plan.mask))
+
+    T_f = max(p.num_tiles for p in fwd_plans)
+    T_b = max(p.num_tiles for p in bwd_plans)
+    nb_f = max(p.n_blocks for p in fwd_plans)
+    nb_b = max(p.n_blocks for p in bwd_plans)
+    fwd_plans = [_pad_plan_tiles(p, T_f, nb_f) for p in fwd_plans]
+    bwd_plans = [_pad_plan_tiles(p, T_b, nb_b) for p in bwd_plans]
+    w_slot_parts = [
+        np.pad(ws, ((0, T_f - ws.shape[0]), (0, 0))) for ws in w_slot_parts
+    ]
+    w_slot_t_parts = [
+        np.pad(ws, ((0, T_b - ws.shape[0]), (0, 0))) for ws in w_slot_t_parts
+    ]
+
+    return PartitionedGraph(
+        plan=_stack_plans(fwd_plans, npp, nb_f, halo_total),
+        plan_t=_stack_plans(bwd_plans, halo_total, nb_b, npp),
+        send_idx=jnp.asarray(send_idx),
+        send_mask=jnp.asarray(send_mask),
+        w_slots=jnp.asarray(np.stack(w_slot_parts), dtype=jnp.float32),
+        w_slots_t=jnp.asarray(np.stack(w_slot_t_parts), dtype=jnp.float32),
+        num_parts=P,
+        nodes_per_part=int(npp),
+        halo=int(H),
+        num_nodes=int(num_nodes),
+    )

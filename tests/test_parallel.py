@@ -1,0 +1,121 @@
+"""Multi-chip halo-exchange SpMM tests on the 8-device CPU mesh.
+
+What the reference cannot test at all (it has no distributed layer,
+SURVEY §2.7): numerical equality of the partitioned + all-to-all path
+against the single-chip reference op, including gradients.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from geot_tpu.ops import reference as ref
+from geot_tpu.parallel import halo_spmm, node_sharding, pad_nodes, partition_graph
+
+
+def _mesh(n):
+    devs = jax.devices()
+    if len(devs) < n:
+        pytest.skip(f"needs {n} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:n]), ("parts",))
+
+
+def _rand(seed, n_nodes=100, n_edges=600, f=16, weighted=True):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n_nodes, n_edges).astype(np.int32)
+    dst = rng.integers(0, n_nodes, n_edges).astype(np.int32)
+    w = rng.standard_normal(n_edges).astype(np.float32) if weighted else None
+    x = rng.standard_normal((n_nodes, f)).astype(np.float32)
+    return src, dst, w, x
+
+
+@pytest.mark.parametrize("nparts", [2, 4, 8])
+@pytest.mark.parametrize("weighted", [False, True])
+def test_halo_spmm_matches_reference(nparts, weighted):
+    mesh = _mesh(nparts)
+    src, dst, w, x = _rand(nparts, weighted=weighted)
+    n = x.shape[0]
+    pg = partition_graph(src, dst, n, nparts, edge_weight=w, e_tile=64, s_tile=64)
+    xp = pad_nodes(jnp.asarray(x), pg)
+    xp = jax.device_put(xp, node_sharding(mesh))
+    out = halo_spmm(xp, pg, mesh, backend="reference")
+    expect = (
+        ref.gather_weight_scatter_ref(src, dst, jnp.asarray(w), jnp.asarray(x), n)
+        if weighted
+        else ref.gather_scatter_ref(src, dst, jnp.asarray(x), n)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out)[:n], np.asarray(expect), rtol=1e-4, atol=1e-4
+    )
+    # padding rows receive nothing
+    assert np.all(np.asarray(out)[n:] == 0)
+
+
+def test_halo_spmm_pallas_interpret_matches():
+    mesh = _mesh(4)
+    src, dst, w, x = _rand(11)
+    n = x.shape[0]
+    pg = partition_graph(src, dst, n, 4, edge_weight=w, e_tile=64, s_tile=64)
+    xp = jax.device_put(pad_nodes(jnp.asarray(x), pg), node_sharding(mesh))
+    out_p = halo_spmm(xp, pg, mesh, backend="pallas")
+    out_r = halo_spmm(xp, pg, mesh, backend="reference")
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_r), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_halo_spmm_grad_matches_reference():
+    mesh = _mesh(4)
+    src, dst, w, x = _rand(21, n_nodes=64, n_edges=300, f=8)
+    n = x.shape[0]
+    pg = partition_graph(src, dst, n, 4, edge_weight=w, e_tile=64, s_tile=64)
+    xj = jnp.asarray(x)
+    co = jnp.asarray(
+        np.random.default_rng(0).standard_normal((pg.padded_nodes, 8)),
+        dtype=jnp.float32,
+    )
+
+    def f_dist(xin):
+        xp = jax.device_put(pad_nodes(xin, pg), node_sharding(mesh))
+        return jnp.vdot(halo_spmm(xp, pg, mesh, backend="reference"), co)
+
+    def f_ref(xin):
+        out = ref.gather_weight_scatter_ref(src, dst, jnp.asarray(w), xin, n)
+        return jnp.vdot(out, co[:n])
+
+    g_dist = jax.grad(f_dist)(xj)
+    g_ref = jax.grad(f_ref)(xj)
+    np.testing.assert_allclose(np.asarray(g_dist), np.asarray(g_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_halo_spmm_under_jit():
+    mesh = _mesh(4)
+    src, dst, w, x = _rand(31, f=8)
+    n = x.shape[0]
+    pg = partition_graph(src, dst, n, 4, edge_weight=w, e_tile=64, s_tile=64)
+    xp = jax.device_put(pad_nodes(jnp.asarray(x), pg), node_sharding(mesh))
+
+    @jax.jit
+    def step(xin):
+        return halo_spmm(xin, pg, mesh, backend="reference")
+
+    out = step(xp)
+    expect = ref.gather_weight_scatter_ref(src, dst, jnp.asarray(w), jnp.asarray(x), n)
+    np.testing.assert_allclose(np.asarray(out)[:n], np.asarray(expect), rtol=1e-4, atol=1e-4)
+
+
+def test_partition_empty_parts():
+    """Parts with zero edges (all edges hit part 0) must still work."""
+    mesh = _mesh(4)
+    n = 80
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, n, 200).astype(np.int32)
+    dst = rng.integers(0, 20, 200).astype(np.int32)  # only part 0 dsts
+    x = rng.standard_normal((n, 8)).astype(np.float32)
+    pg = partition_graph(src, dst, n, 4, e_tile=32, s_tile=32)
+    xp = jax.device_put(pad_nodes(jnp.asarray(x), pg), node_sharding(mesh))
+    out = halo_spmm(xp, pg, mesh, backend="reference")
+    expect = ref.gather_scatter_ref(src, dst, jnp.asarray(x), n)
+    np.testing.assert_allclose(np.asarray(out)[:n], np.asarray(expect), rtol=1e-4, atol=1e-4)
