@@ -39,21 +39,20 @@ def main() -> None:
     n_feat = int(os.environ.get("GEOT_BENCH_FEATURES", "128"))
     n_nodes, n_edges, _, _ = DATASET_SHAPES[dataset]
     d = synthetic_graph(n_nodes, n_edges, power=1.0, seed=0, name=dataset)
-    g = prepare_graph(d.src, d.dst, n_nodes, add_self_loops=False)
-
     rng = np.random.default_rng(0)
+    w_host = rng.standard_normal(d.num_edges).astype(np.float32)
+    # static weights baked into the graph (the GCN model path: weights are
+    # graph data, slot-ordered once at build — `geot_tpu.graph.structures`)
+    g = prepare_graph(
+        d.src, d.dst, n_nodes, add_self_loops=False, edge_weight=w_host
+    )
     x = jnp.asarray(rng.standard_normal((n_nodes, n_feat)).astype(np.float32))
-    w = jnp.asarray(rng.standard_normal(g.num_edges).astype(np.float32))
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
     backend = "pallas" if on_tpu else "reference"
 
-    fn = jax.jit(
-        lambda x, w: ops.gather_weight_scatter(
-            g.src, g.dst, w, x, n_nodes, graph=g, backend=backend
-        )
-    )
-    t = timeit(fn, x, w, warmup=5, iters=50)
+    fn = jax.jit(lambda x: ops.segment_spmm(g, x, backend=backend))
+    t = timeit(fn, x, warmup=5, iters=50)
 
     sol_bytes = spmm_bytes(
         g.num_edges, n_feat, n_nodes, n_nodes, weighted=True, fused_gather=True

@@ -6,6 +6,12 @@ everything the fused ops need — including the forward SegmentPlan and the
 transpose (src-sorted) plan so backward passes never re-sort edges. (GeoT
 pays a full `torch.sort` per backward call, `geot/gather_weight_scatter.py:41`;
 here the CSC permutation is precomputed once, per SURVEY §7.)
+
+Static edge weights (e.g. GCN's symmetric normalization) are additionally
+cached in *slot order* (`w_slots`/`w_slots_t`) at build time: permuting
+nnz scalars into the tile layout at every forward is a random scalar
+gather that measures ~half the whole SpMM cost on TPU, so it is hoisted
+here, amortized like the rest of the plan.
 """
 
 from __future__ import annotations
@@ -28,11 +34,13 @@ class Graph:
     """dst-sorted COO adjacency + plans.
 
     src, dst: [nnz] int32, sorted by dst ascending.
-    edge_weight: [nnz] float or None.
+    edge_weight: [nnz] float or None — static per-edge weights.
     plan: forward SegmentPlan (reduce over dst).
     plan_t: transpose plan (reduce over src) — drives backward / A^T @ X.
     perm_t: [nnz] int32 — position in dst-sorted order of the e-th edge of
       the src-sorted order (edge_attr_t = edge_attr[perm_t]).
+    w_slots / w_slots_t: [T, e_tile] slot-ordered (mask-applied) copies of
+      edge_weight for the fwd / transpose plans, or None.
     """
 
     src: jax.Array
@@ -41,11 +49,20 @@ class Graph:
     plan: SegmentPlan
     plan_t: SegmentPlan
     perm_t: jax.Array
+    w_slots: Optional[jax.Array]
+    w_slots_t: Optional[jax.Array]
     num_nodes: int = dataclasses.field(metadata=dict(static=True))
 
     @property
     def num_edges(self) -> int:
         return int(self.src.shape[0])
+
+
+def _slot_weights(plan: SegmentPlan, w: np.ndarray) -> np.ndarray:
+    ep = np.asarray(plan.edge_pos).reshape(-1)
+    mask = np.asarray(plan.mask)
+    ws = w[np.minimum(ep, len(w) - 1)].reshape(mask.shape)
+    return (ws * mask).astype(np.float32)
 
 
 def build_graph(
@@ -54,15 +71,28 @@ def build_graph(
     num_nodes: int,
     edge_weight=None,
     *,
-    e_tile: int = 256,
-    s_tile: int = 256,
+    e_tile: Optional[int] = None,
+    s_tile: Optional[int] = None,
+    feature_hint: int = 128,
     assume_sorted: bool = False,
 ) -> Graph:
-    """Host-side graph preprocessing: sort by dst, build fwd + transpose plans."""
+    """Host-side graph preprocessing: sort by dst, build fwd + transpose plans.
+
+    Tile shapes default to the tuning layer's pick for
+    (feature_hint, nnz, avg degree) — the role of GeoT's decision-tree
+    launch rules (`csrc/cuda/wrapper/index_scatter_rule.h`), consulted once
+    at build instead of per call because the plan is precomputed.
+    """
     src = np.asarray(src, dtype=np.int32)
     dst = np.asarray(dst, dtype=np.int32)
+    if e_tile is None or s_tile is None:
+        from geot_tpu.tuning.heuristics import select_config
+
+        cfg = select_config(feature_hint, len(src), num_nodes)
+        e_tile = e_tile or cfg.e_tile
+        s_tile = s_tile or cfg.s_tile
     if edge_weight is not None:
-        edge_weight = np.asarray(edge_weight)
+        edge_weight = np.asarray(edge_weight, dtype=np.float32)
     if not assume_sorted:
         order = np.argsort(dst, kind="stable")
         src, dst = src[order], dst[order]
@@ -81,6 +111,10 @@ def build_graph(
         s_tile=s_tile,
         num_src_nodes=num_nodes,
     )
+    w_slots = w_slots_t = None
+    if edge_weight is not None and len(edge_weight):
+        w_slots = jnp.asarray(_slot_weights(plan, edge_weight))
+        w_slots_t = jnp.asarray(_slot_weights(plan_t, edge_weight[perm_t]))
     return Graph(
         src=jnp.asarray(src),
         dst=jnp.asarray(dst),
@@ -88,5 +122,7 @@ def build_graph(
         plan=plan,
         plan_t=plan_t,
         perm_t=jnp.asarray(perm_t.astype(np.int32)),
+        w_slots=w_slots,
+        w_slots_t=w_slots_t,
         num_nodes=int(num_nodes),
     )

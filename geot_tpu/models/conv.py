@@ -51,8 +51,10 @@ def prepare_graph(
     *,
     add_self_loops: bool = True,
     edge_weight=None,
-    e_tile: int = 256,
-    s_tile: int = 256,
+    normalize: Optional[str] = None,
+    e_tile: Optional[int] = None,
+    s_tile: Optional[int] = None,
+    feature_hint: int = 128,
 ) -> Graph:
     """One-time host-side adjacency prep for the conv layers: optionally add
     self-loops, dst-sort, build fwd+transpose SegmentPlans.
@@ -61,6 +63,11 @@ def prepare_graph(
     (`models/utils.py:30-55`: add_self_loops + sort_by('row') +
     to_sparse_tensor). Self-loops must be materialized *before* planning
     because plans are shape-static.
+
+    normalize='gcn' bakes the symmetric GCN normalization
+    d_dst^-1/2 · w · d_src^-1/2 into the graph's cached slot weights
+    (reference computes it per forward, `models/conv/gcnconv.py:41-57`;
+    here it is graph data, hoisted out of the step entirely).
     """
     src = np.asarray(src, dtype=np.int32)
     dst = np.asarray(dst, dtype=np.int32)
@@ -72,8 +79,21 @@ def prepare_graph(
             edge_weight = np.concatenate(
                 [np.asarray(edge_weight), np.ones(num_nodes, np.float32)]
             )
+    if normalize == "gcn":
+        base = (
+            np.ones(len(src), np.float32)
+            if edge_weight is None
+            else np.asarray(edge_weight, np.float32)
+        )
+        deg = np.zeros(num_nodes, np.float32)
+        np.add.at(deg, dst, base)
+        dinv = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1e-12)), 0.0)
+        edge_weight = dinv[dst] * base * dinv[src]
+    elif normalize is not None:
+        raise ValueError(f"unknown normalize={normalize!r}")
     return build_graph(
-        src, dst, num_nodes, edge_weight=edge_weight, e_tile=e_tile, s_tile=s_tile
+        src, dst, num_nodes, edge_weight=edge_weight,
+        e_tile=e_tile, s_tile=s_tile, feature_hint=feature_hint,
     )
 
 
@@ -99,8 +119,11 @@ class GCNConv(nn.Module):
     `message_and_aggregate` calls GeoT's weighted SpMM
     (`models/conv/spmm.py:10-14`). Here the normalized edge weights feed
     `segment_spmm` directly. The graph must already contain self-loops
-    (use `prepare_graph`). Set `normalize=False` to use the graph's own
-    edge weights.
+    (use `prepare_graph`). With `normalize=True`: if the graph carries
+    cached slot weights (`prepare_graph(..., normalize='gcn')`) those are
+    taken as the normalization (fast path); otherwise the degree norm is
+    computed per forward. Set `normalize=False` to aggregate with the
+    graph's own weights (or unweighted).
     """
 
     features: int
@@ -117,7 +140,13 @@ class GCNConv(nn.Module):
             param_dtype=self.param_dtype,
             kernel_init=nn.initializers.glorot_uniform(),
         )(x)
-        w = gcn_edge_weight(graph, x.dtype) if self.normalize else None
+        # graphs prepared with normalize='gcn' carry the normalization in
+        # their cached slot weights — the fast path; otherwise compute the
+        # degree normalization in-graph per forward
+        if self.normalize and graph.w_slots is None:
+            w = gcn_edge_weight(graph, x.dtype)
+        else:
+            w = None
         out = ops.segment_spmm(graph, x, edge_weight=w, backend=self.backend)
         if self.use_bias:
             out = out + self.param(
@@ -276,7 +305,7 @@ class SGConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, graph: Graph) -> jax.Array:
-        w = gcn_edge_weight(graph, x.dtype)
+        w = None if graph.w_slots is not None else gcn_edge_weight(graph, x.dtype)
         for _ in range(self.k):
             x = ops.segment_spmm(graph, x, edge_weight=w, backend=self.backend)
         return nn.Dense(
@@ -295,7 +324,7 @@ class APPNPConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, graph: Graph) -> jax.Array:
-        w = gcn_edge_weight(graph, x.dtype)
+        w = None if graph.w_slots is not None else gcn_edge_weight(graph, x.dtype)
         h = x
         for _ in range(self.k):
             x = (1.0 - self.alpha) * ops.segment_spmm(

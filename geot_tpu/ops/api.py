@@ -112,6 +112,46 @@ def _w_slots(plan: SegmentPlan, w_edge: Optional[jax.Array]) -> jax.Array:
     return plan.mask * w_edge[plan.edge_pos.reshape(-1)].reshape(plan.mask.shape)
 
 
+def _slot_spmm(plan: SegmentPlan, x: jax.Array, w_slots: jax.Array, use_pallas):
+    """sum over slots: out[dst_slot] += w_slot * x[src_slot] — the common
+    engine once weights are already in slot order (cached on the Graph,
+    avoiding the per-call nnz scalar gather)."""
+    if use_pallas:
+        vals = x[plan.src_slots.reshape(-1)]
+        return _plan_sum(plan, vals, w_slots)
+    vals = x[plan.src_slots.reshape(-1)] * w_slots.reshape(-1)[:, None].astype(x.dtype)
+    return (
+        jnp.zeros((plan.num_segments, x.shape[1]), jnp.float32)
+        .at[plan.dst_slots.reshape(-1)]
+        .add(vals, mode="drop")
+        .astype(x.dtype)
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _make_gws_static(use_pallas: bool):
+    """Weighted SpMM with graph-constant weights (GCN-norm style): weights
+    live in slot order on the Graph; differentiable w.r.t. x only.
+    Backward = transpose plan with the transpose slot weights (reference
+    semantics: `geot/gather_weight_scatter.py:36-46` minus the weight grad,
+    and minus its per-call sort)."""
+
+    @jax.custom_vjp
+    def gws(x, plan, plan_t, w_slots, w_slots_t):
+        return _slot_spmm(plan, x, w_slots, use_pallas)
+
+    def fwd(x, plan, plan_t, w_slots, w_slots_t):
+        return gws(x, plan, plan_t, w_slots, w_slots_t), (plan_t, w_slots_t)
+
+    def bwd(res, g):
+        plan_t, w_slots_t = res
+        dx = _slot_spmm(plan_t, g, w_slots_t, use_pallas)
+        return (dx, None, None, None, None)
+
+    gws.defvjp(fwd, bwd)
+    return gws
+
+
 def _spmm_fwd(plan, x, w_edge, src, dst, use_pallas):
     """sum_e w_e * x[src_e] grouped by dst_e."""
     if not use_pallas:
@@ -380,7 +420,12 @@ def segment_spmm(
     `models/conv/spmm.py:5-14`)."""
     w = edge_weight if edge_weight is not None else graph.edge_weight
     use_p = _use_pallas(backend) and reduce in ("sum", "mean")
-    if w is None:
+    if reduce in ("sum", "mean") and edge_weight is None and graph.w_slots is not None:
+        # static-weight fast path: slot weights cached at graph build
+        out = _make_gws_static(use_p)(
+            x, graph.plan, graph.plan_t, graph.w_slots, graph.w_slots_t
+        )
+    elif w is None:
         if use_p:
             out = _make_gs(True)(
                 x, graph.src, graph.dst, graph.plan, graph.plan_t, graph.perm_t

@@ -52,12 +52,32 @@ def default_interpret() -> bool:
 
 
 def _prec(dtype):
-    """MXU precision policy: float32 inputs need multi-pass bf16 passes to
-    preserve f32 accuracy (the one-hot matmul must not round the values);
-    bf16 inputs take the fast single-pass path."""
+    """MXU precision policy for dots whose operands are NOT exactly
+    representable in bf16. (Mosaic only lowers DEFAULT and HIGHEST.)"""
     if dtype == jnp.float32:
         return jax.lax.Precision.HIGHEST
     return jax.lax.Precision.DEFAULT
+
+
+def _onehot_dot(onehot: jax.Array, v: jax.Array, swap: bool = False):
+    """MXU product of an exactly-bf16-representable selector matrix with
+    f32 values, in TWO single-pass bf16 matmuls (hi/lo split of the values,
+    ~2^-16 relative accuracy) instead of HIGHEST's six passes — the one-hot
+    entries are 0/1 so their bf16 cast is exact and needs no splitting.
+    `swap=True` computes v @ onehot instead of onehot @ v."""
+    if v.dtype != jnp.float32:
+        a, b = (v, onehot.astype(v.dtype)) if swap else (onehot.astype(v.dtype), v)
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    oh = onehot.astype(jnp.bfloat16)
+    hi = v.astype(jnp.bfloat16)
+    lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    if swap:
+        return jnp.dot(hi, oh, preferred_element_type=jnp.float32) + jnp.dot(
+            lo, oh, preferred_element_type=jnp.float32
+        )
+    return jnp.dot(oh, hi, preferred_element_type=jnp.float32) + jnp.dot(
+        oh, lo, preferred_element_type=jnp.float32
+    )
 
 
 def _sr_kernel(ob_ref, dst_ref, w_ref, v_ref, o_ref, acc_ref, *, s_tile):
@@ -71,12 +91,11 @@ def _sr_kernel(ob_ref, dst_ref, w_ref, v_ref, o_ref, acc_ref, *, s_tile):
     e_tile = local.shape[0]
     seg_ids = jax.lax.broadcasted_iota(jnp.int32, (s_tile, e_tile), 0)
     v = v_ref[:]
-    onehot = (seg_ids == local[None, :]).astype(v.dtype) * w_ref[0, 0, :][None, :].astype(
-        v.dtype
-    )
-    part = jnp.dot(
-        onehot, v, preferred_element_type=jnp.float32, precision=_prec(v.dtype)
-    )
+    # weight applied to the values on the VPU so the one-hot matmul operand
+    # stays exactly representable in bf16 (enables the 3-pass HIGH path)
+    vw = v * w_ref[0, 0, :][:, None].astype(v.dtype)
+    onehot = (seg_ids == local[None, :]).astype(jnp.float32)
+    part = _onehot_dot(onehot, vw)
 
     @pl.when(first)
     def _():
@@ -102,12 +121,9 @@ def _pr_kernel(ob_ref, dst_ref, w_ref, v_ref, o_ref, acc_ref, *, s_tile):
     e_tile = local.shape[0]
     seg_ids = jax.lax.broadcasted_iota(jnp.int32, (e_tile, s_tile), 1)
     v = v_ref[:]  # [n_pad, e_tile]
-    onehot_t = (seg_ids == local[:, None]).astype(v.dtype) * w_ref[0, 0, :][:, None].astype(
-        v.dtype
-    )
-    part = jnp.dot(
-        v, onehot_t, preferred_element_type=jnp.float32, precision=_prec(v.dtype)
-    )  # [n_pad, s_tile]
+    vw = v * w_ref[0, 0, :][None, :].astype(v.dtype)
+    onehot_t = (seg_ids == local[:, None]).astype(jnp.float32)
+    part = _onehot_dot(onehot_t, vw, swap=True)  # [n_pad, s_tile]
 
     @pl.when(first)
     def _():
@@ -142,23 +158,15 @@ def _mh_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (n_heads, f_tile), 1)
     head_of_lane = (f * f_tile + lane) // head_dim
     head_ids = jax.lax.broadcasted_iota(jnp.int32, (n_heads, f_tile), 0)
-    head_sel = (head_of_lane == head_ids).astype(v.dtype)  # [H, f_tile]
-    w_lane = jnp.dot(
-        w_ref[:].astype(v.dtype),
-        head_sel,
-        preferred_element_type=v.dtype,
-        precision=_prec(v.dtype),
+    head_sel = (head_of_lane == head_ids).astype(jnp.float32)  # [H, f_tile]
+    w_lane = _onehot_dot(
+        head_sel, w_ref[:].astype(jnp.float32), swap=True
     )  # [e_tile, f_tile]
 
     local = dst_ref[0, 0, :] - cur * s_tile
     seg_ids = jax.lax.broadcasted_iota(jnp.int32, (s_tile, e_tile), 0)
-    onehot = (seg_ids == local[None, :]).astype(v.dtype)
-    part = jnp.dot(
-        onehot,
-        v * w_lane,
-        preferred_element_type=jnp.float32,
-        precision=_prec(v.dtype),
-    )
+    onehot = (seg_ids == local[None, :]).astype(jnp.float32)
+    part = _onehot_dot(onehot, v * w_lane.astype(v.dtype))
 
     @pl.when(first)
     def _():

@@ -196,6 +196,30 @@ def test_gcn_trains_on_separable_graph(tmp_path):
     assert meta["train_acc"] == metrics["train_acc"]
 
 
+def test_gcnconv_baked_norm_matches_dynamic():
+    """prepare_graph(normalize='gcn') cached-slot path ≡ per-forward norm,
+    forward and gradient."""
+    rng = np.random.default_rng(8)
+    n, e = 60, 300
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = rng.integers(0, n, e).astype(np.int32)
+    x = jnp.asarray(rng.standard_normal((n, 12), dtype=np.float32))
+    g_dyn = prepare_graph(src, dst, n, add_self_loops=True, e_tile=128, s_tile=128)
+    g_bak = prepare_graph(
+        src, dst, n, add_self_loops=True, normalize="gcn", e_tile=128, s_tile=128
+    )
+    conv = GCNConv(features=8)
+    params = conv.init(jax.random.PRNGKey(0), x, g_dyn)
+    out_dyn = conv.apply(params, x, g_dyn)
+    out_bak = conv.apply(params, x, g_bak)
+    np.testing.assert_allclose(
+        np.asarray(out_dyn), np.asarray(out_bak), rtol=1e-5, atol=1e-5
+    )
+    gd = jax.grad(lambda xx: jnp.sum(conv.apply(params, xx, g_dyn) ** 2))(x)
+    gb = jax.grad(lambda xx: jnp.sum(conv.apply(params, xx, g_bak) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(gb), rtol=1e-4, atol=1e-4)
+
+
 def test_pallas_vs_reference_backend_model_parity():
     """The same params must produce (near-)identical activations through the
     Pallas plan path and the XLA reference path — the analogue of the

@@ -189,3 +189,29 @@ def test_segment_spmm_mean_and_empty_segments():
     np.add.at(cnt, dst, 1)
     expect /= np.maximum(cnt, 1)[:, None]
     np.testing.assert_allclose(np.asarray(out), expect, rtol=2e-4, atol=2e-4)
+
+
+def test_gather_weight_scatter_bf16():
+    """bf16 feature path: kernels take the single-pass MXU route; results
+    accumulate in f32 and match the f32 reference to bf16 tolerance."""
+    import numpy as np
+    import jax.numpy as jnp
+    from geot_tpu.graph.structures import build_graph
+    from geot_tpu.ops import api as ops
+    from geot_tpu.ops import reference as ref
+
+    rng = np.random.default_rng(40)
+    n, e, F = 90, 500, 64
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = rng.integers(0, n, e).astype(np.int32)
+    w = rng.standard_normal(e).astype(np.float32)
+    g = build_graph(src, dst, n, edge_weight=w, e_tile=128, s_tile=128)
+    x = rng.standard_normal((n, F)).astype(np.float32)
+    out_bf = ops.segment_spmm(g, jnp.asarray(x, jnp.bfloat16), backend="pallas")
+    assert out_bf.dtype == jnp.bfloat16
+    expect = ref.gather_weight_scatter_ref(
+        g.src, g.dst, g.edge_weight, jnp.asarray(x), n
+    )
+    scale = float(jnp.max(jnp.abs(expect))) + 1e-6
+    diff = float(jnp.max(jnp.abs(out_bf.astype(jnp.float32) - expect)))
+    assert diff < 0.05 * scale, (diff, scale)
