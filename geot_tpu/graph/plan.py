@@ -76,6 +76,8 @@ class SegmentPlan:
     n_blocks: int = dataclasses.field(metadata=dict(static=True))
     num_edges: int = dataclasses.field(metadata=dict(static=True))
     num_src_nodes: int = dataclasses.field(metadata=dict(static=True))
+    # layout preference from the tuning layer: 'auto' | 'sr' | 'pr'
+    mode_hint: str = dataclasses.field(default="auto", metadata=dict(static=True))
 
     @property
     def num_tiles(self) -> int:
@@ -119,6 +121,7 @@ def build_segment_plan(
     e_tile: int = 256,
     s_tile: int = 256,
     num_src_nodes: Optional[int] = None,
+    mode_hint: str = "auto",
 ) -> SegmentPlan:
     """Build a SegmentPlan from a dst-sorted COO edge list (host-side).
 
@@ -151,6 +154,32 @@ def build_segment_plan(
         )
 
     n_blocks = max(_cdiv(max(num_segments, 1), s_tile), 1)
+
+    # native (C++, multithreaded) slot-array construction when available —
+    # the numpy path below is the reference implementation and fallback
+    # (equality is tested in tests/test_native.py)
+    from geot_tpu import native as _native
+
+    nat = _native.build_plan_arrays(
+        dst.astype(np.int32), None if src is None else src_arr,
+        num_segments, e_tile, s_tile,
+    )
+    if nat is not None:
+        src_sl, dst_sl, ep, mk, ob = nat
+        return SegmentPlan(
+            src_slots=jnp.asarray(src_sl),
+            dst_slots=jnp.asarray(dst_sl),
+            edge_pos=jnp.asarray(ep),
+            mask=jnp.asarray(mk),
+            out_block=jnp.asarray(ob),
+            e_tile=int(e_tile),
+            s_tile=int(s_tile),
+            num_segments=int(num_segments),
+            n_blocks=n_blocks,
+            num_edges=nnz,
+            num_src_nodes=n_src,
+            mode_hint=mode_hint,
+        )
 
     block_of_edge = dst // s_tile if nnz else np.zeros(0, dtype=np.int64)
     cnt = np.bincount(block_of_edge, minlength=n_blocks).astype(np.int64)
@@ -194,4 +223,5 @@ def build_segment_plan(
         n_blocks=int(n_blocks),
         num_edges=nnz,
         num_src_nodes=n_src,
+        mode_hint=mode_hint,
     )

@@ -58,6 +58,17 @@ class Graph:
         return int(self.src.shape[0])
 
 
+def _stable_sort_perm(key: np.ndarray, num_keys: int) -> np.ndarray:
+    """Counting-sort permutation via the native runtime when available
+    (O(nnz), multithreaded histogram); numpy argsort fallback."""
+    from geot_tpu import native
+
+    perm = native.sort_by_key(np.asarray(key, np.int32), int(num_keys))
+    if perm is not None:
+        return perm
+    return np.argsort(key, kind="stable")
+
+
 def _slot_weights(plan: SegmentPlan, w: np.ndarray) -> np.ndarray:
     ep = np.asarray(plan.edge_pos).reshape(-1)
     mask = np.asarray(plan.mask)
@@ -85,24 +96,27 @@ def build_graph(
     """
     src = np.asarray(src, dtype=np.int32)
     dst = np.asarray(dst, dtype=np.int32)
+    mode_hint = "auto"
     if e_tile is None or s_tile is None:
         from geot_tpu.tuning.heuristics import select_config
 
         cfg = select_config(feature_hint, len(src), num_nodes)
         e_tile = e_tile or cfg.e_tile
         s_tile = s_tile or cfg.s_tile
+        mode_hint = cfg.mode
     if edge_weight is not None:
         edge_weight = np.asarray(edge_weight, dtype=np.float32)
     if not assume_sorted:
-        order = np.argsort(dst, kind="stable")
+        order = _stable_sort_perm(dst, num_nodes)
         src, dst = src[order], dst[order]
         if edge_weight is not None:
             edge_weight = edge_weight[order]
     plan = build_segment_plan(
-        dst, src, num_nodes, e_tile=e_tile, s_tile=s_tile, num_src_nodes=num_nodes
+        dst, src, num_nodes, e_tile=e_tile, s_tile=s_tile,
+        num_src_nodes=num_nodes, mode_hint=mode_hint,
     )
     # transpose: reduce over src; edges sorted by src
-    perm_t = np.argsort(src, kind="stable")
+    perm_t = _stable_sort_perm(src, num_nodes)
     plan_t = build_segment_plan(
         src[perm_t],
         dst[perm_t],
@@ -110,6 +124,7 @@ def build_graph(
         e_tile=e_tile,
         s_tile=s_tile,
         num_src_nodes=num_nodes,
+        mode_hint=mode_hint,
     )
     w_slots = w_slots_t = None
     if edge_weight is not None and len(edge_weight):

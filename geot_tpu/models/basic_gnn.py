@@ -48,11 +48,13 @@ class BasicGNN(nn.Module):
     act_first: bool = False
     backend: str = "auto"
     param_dtype: jnp.dtype = jnp.float32
+    dtype: Optional[jnp.dtype] = None  # compute dtype (e.g. jnp.bfloat16)
 
     def _make_conv(self, features: int) -> nn.Module:
         kw = dict(self.conv_kwargs or {})
         kw.setdefault("backend", self.backend)
         kw.setdefault("param_dtype", self.param_dtype)
+        kw.setdefault("dtype", self.dtype)
         return self.conv_cls(features=features, **kw)
 
     def _norm(self, x: jax.Array, deterministic: bool) -> jax.Array:

@@ -131,12 +131,14 @@ class GCNConv(nn.Module):
     normalize: bool = True
     backend: str = "auto"
     param_dtype: jnp.dtype = jnp.float32
+    dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 halves SpMM traffic)
 
     @nn.compact
     def __call__(self, x: jax.Array, graph: Graph) -> jax.Array:
         x = nn.Dense(
             self.features,
             use_bias=False,
+            dtype=self.dtype,
             param_dtype=self.param_dtype,
             kernel_init=nn.initializers.glorot_uniform(),
         )(x)
@@ -171,16 +173,21 @@ class SAGEConv(nn.Module):
     use_bias: bool = True
     backend: str = "auto"
     param_dtype: jnp.dtype = jnp.float32
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, graph: Graph) -> jax.Array:
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         agg = ops.segment_spmm(graph, x, reduce=self.aggr, backend=self.backend)
         out = nn.Dense(
-            self.features, use_bias=self.use_bias, param_dtype=self.param_dtype
+            self.features, use_bias=self.use_bias, dtype=self.dtype,
+            param_dtype=self.param_dtype,
         )(agg)
         if self.root_weight:
             out = out + nn.Dense(
-                self.features, use_bias=False, param_dtype=self.param_dtype
+                self.features, use_bias=False, dtype=self.dtype,
+                param_dtype=self.param_dtype,
             )(x)
         if self.normalize:
             out = out / jnp.maximum(
@@ -196,11 +203,12 @@ class MLP(nn.Module):
     hidden: Sequence[int]
     act: Callable = nn.relu
     param_dtype: jnp.dtype = jnp.float32
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         for i, h in enumerate(self.hidden):
-            x = nn.Dense(h, param_dtype=self.param_dtype)(x)
+            x = nn.Dense(h, dtype=self.dtype, param_dtype=self.param_dtype)(x)
             if i + 1 < len(self.hidden):
                 x = self.act(x)
         return x
@@ -219,9 +227,12 @@ class GINConv(nn.Module):
     train_eps: bool = False
     backend: str = "auto"
     param_dtype: jnp.dtype = jnp.float32
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, graph: Graph) -> jax.Array:
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         agg = ops.segment_spmm(graph, x, reduce="sum", backend=self.backend)
         if self.train_eps:
             eps = self.param(
@@ -230,9 +241,8 @@ class GINConv(nn.Module):
         else:
             eps = jnp.asarray(self.eps, x.dtype)
         h = self.hidden or self.features
-        return MLP([h, self.features], param_dtype=self.param_dtype)(
-            (1.0 + eps) * x + agg
-        )
+        return MLP([h, self.features], param_dtype=self.param_dtype,
+                   dtype=self.dtype)((1.0 + eps) * x + agg)
 
 
 class GATConv(nn.Module):
@@ -253,6 +263,7 @@ class GATConv(nn.Module):
     use_bias: bool = True
     backend: str = "auto"
     param_dtype: jnp.dtype = jnp.float32
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, graph: Graph) -> jax.Array:
@@ -260,6 +271,7 @@ class GATConv(nn.Module):
         xh = nn.Dense(
             H * D,
             use_bias=False,
+            dtype=self.dtype,
             param_dtype=self.param_dtype,
             kernel_init=nn.initializers.glorot_uniform(),
         )(x).reshape(-1, H, D)
@@ -271,18 +283,11 @@ class GATConv(nn.Module):
         ).astype(xh.dtype)
         alpha_src = jnp.sum(xh * a_src, axis=-1)  # [nodes, H]
         alpha_dst = jnp.sum(xh * a_dst, axis=-1)
-        logits = nn.leaky_relu(
-            alpha_src[graph.src] + alpha_dst[graph.dst], self.negative_slope
-        )  # [nnz, H]
-        att = ops.segment_softmax(logits, graph.dst, graph.num_nodes)
-        out = ops.mh_spmm(
-            graph.src,
-            graph.dst,
-            att,
-            xh,
-            graph.num_nodes,
-            graph=graph,
-            backend=self.backend,
+        # fused slot-space attention: logits/softmax/weights are produced
+        # directly in the plan layout (no edge-order round trip)
+        out = ops.gat_attention_spmm(
+            graph, xh, alpha_src, alpha_dst,
+            negative_slope=self.negative_slope, backend=self.backend,
         )  # [nodes, H, D]
         out = out.reshape(-1, H * D) if self.concat else out.mean(axis=1)
         if self.use_bias:

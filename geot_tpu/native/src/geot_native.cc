@@ -1,0 +1,276 @@
+// geot_tpu native runtime: host-side graph preprocessing in C++.
+//
+// TPU-native counterpart of the reference's native host layer: the
+// MatrixMarket dataloader (`csrc/dataloader/dataloader.hpp:66-367`,
+// `csrc/dataloader/mmio.hpp`) and the CPU-side scheduling work its CUDA
+// wrappers do at launch time. Here the hot host path is SegmentPlan
+// construction (the tile schedule that replaces GeoT's launch rules) plus
+// edge sorting — O(nnz) passes that dominate preprocessing for
+// ogbn-products-scale graphs, so they are implemented natively and
+// multithreaded, exposed to Python via a plain C ABI (ctypes; no pybind11
+// in this environment).
+//
+// Build: python -m geot_tpu.native (invokes g++ -O3 -shared -fPIC).
+
+#include <algorithm>
+#include <atomic>
+#include <cctype>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+inline int64_t cdiv(int64_t a, int64_t b) { return (a + b - 1) / b; }
+
+int hw_threads() {
+  unsigned n = std::thread::hardware_concurrency();
+  return n ? static_cast<int>(n) : 4;
+}
+
+// Run fn(t, lo, hi) over [0, n) split across threads.
+template <typename F>
+void parallel_for(int64_t n, F fn) {
+  int nt = std::min<int64_t>(hw_threads(), std::max<int64_t>(n, 1));
+  if (nt <= 1 || n < (1 << 14)) {
+    fn(0, 0, n);
+    return;
+  }
+  std::vector<std::thread> ts;
+  int64_t chunk = cdiv(n, nt);
+  for (int t = 0; t < nt; ++t) {
+    int64_t lo = t * chunk, hi = std::min<int64_t>(n, lo + chunk);
+    if (lo >= hi) break;
+    ts.emplace_back([=] { fn(t, lo, hi); });
+  }
+  for (auto& th : ts) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Counting sort of edges by destination (stable): the preprocessing step
+// every fused op assumes (dst-sorted COO). O(nnz + num_nodes), parallel
+// histogram. Returns the permutation `perm` such that dst[perm] is sorted.
+// ---------------------------------------------------------------------------
+int geot_sort_by_key(const int32_t* key, int64_t nnz, int32_t num_keys,
+                     int32_t* perm_out) {
+  if (nnz < 0 || num_keys <= 0) return -1;
+  std::vector<int64_t> count(static_cast<int64_t>(num_keys) + 1, 0);
+  // parallel histogram with per-thread counts
+  int nt = std::min<int64_t>(hw_threads(), std::max<int64_t>(nnz, 1));
+  std::vector<std::vector<int64_t>> local(nt);
+  {
+    std::vector<std::thread> ts;
+    int64_t chunk = cdiv(nnz, nt);
+    for (int t = 0; t < nt; ++t) {
+      int64_t lo = t * chunk, hi = std::min<int64_t>(nnz, lo + chunk);
+      if (lo >= hi) break;
+      ts.emplace_back([&, t, lo, hi] {
+        auto& c = local[t];
+        c.assign(static_cast<int64_t>(num_keys), 0);
+        for (int64_t i = lo; i < hi; ++i) {
+          int32_t k = key[i];
+          if (k < 0 || k >= num_keys) c.resize(0);  // flag error below
+          else c[k]++;
+        }
+      });
+    }
+    for (auto& th : ts) th.join();
+  }
+  for (int t = 0; t < nt; ++t) {
+    if (!local[t].empty() || nnz == 0) continue;
+    return -2;  // out-of-range key
+  }
+  for (int t = 0; t < nt; ++t)
+    for (int64_t k = 0; k < num_keys; ++k)
+      if (!local[t].empty()) count[k + 1] += local[t][k];
+  for (int64_t k = 0; k < num_keys; ++k) count[k + 1] += count[k];
+  // stable fill: walk chunks in order per key — simplest stable variant is a
+  // serial pass (memory-bound anyway)
+  std::vector<int64_t> cursor(count.begin(), count.end() - 1);
+  for (int64_t i = 0; i < nnz; ++i) perm_out[cursor[key[i]]++] = static_cast<int32_t>(i);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// SegmentPlan construction (mirrors geot_tpu.graph.plan.build_segment_plan;
+// see that module for the schedule invariants). Phase 1 returns sizes;
+// phase 2 fills the slot arrays in parallel over output windows.
+// ---------------------------------------------------------------------------
+int64_t geot_plan_num_tiles(const int32_t* dst_sorted, int64_t nnz,
+                            int32_t num_segments, int32_t e_tile,
+                            int32_t s_tile) {
+  if (e_tile <= 0 || s_tile <= 0 || num_segments <= 0) return -1;
+  int64_t n_blocks = std::max<int64_t>(cdiv(num_segments, s_tile), 1);
+  std::vector<int64_t> cnt(n_blocks, 0);
+  for (int64_t i = 0; i < nnz; ++i) {
+    int32_t d = dst_sorted[i];
+    if (d < 0 || d >= num_segments) return -2;
+    if (i && d < dst_sorted[i - 1]) return -3;  // not sorted
+    cnt[d / s_tile]++;
+  }
+  int64_t tiles = 0;
+  for (int64_t b = 0; b < n_blocks; ++b)
+    tiles += std::max<int64_t>(cdiv(cnt[b], e_tile), 1);
+  return tiles;
+}
+
+int geot_build_plan(const int32_t* dst_sorted, const int32_t* src,
+                    int64_t nnz, int32_t num_segments, int32_t e_tile,
+                    int32_t s_tile,
+                    // outputs, caller-allocated with num_tiles from phase 1:
+                    int32_t* src_slots,   // [T*e_tile]
+                    int32_t* dst_slots,   // [T*e_tile]
+                    int32_t* edge_pos,    // [T*e_tile]
+                    float* mask,          // [T*e_tile]
+                    int32_t* out_block) { // [T]
+  int64_t n_blocks = std::max<int64_t>(cdiv(num_segments, s_tile), 1);
+  std::vector<int64_t> cnt(n_blocks, 0), edge_start(n_blocks + 1, 0),
+      tile_start(n_blocks + 1, 0);
+  for (int64_t i = 0; i < nnz; ++i) cnt[dst_sorted[i] / s_tile]++;
+  for (int64_t b = 0; b < n_blocks; ++b) {
+    edge_start[b + 1] = edge_start[b] + cnt[b];
+    tile_start[b + 1] =
+        tile_start[b] + std::max<int64_t>(cdiv(cnt[b], e_tile), 1);
+  }
+  int64_t num_tiles = tile_start[n_blocks];
+
+  parallel_for(n_blocks, [&](int, int64_t blo, int64_t bhi) {
+    for (int64_t b = blo; b < bhi; ++b) {
+      int64_t t0 = tile_start[b], t1 = tile_start[b + 1];
+      int32_t base = static_cast<int32_t>(b * s_tile);
+      for (int64_t t = t0; t < t1; ++t) {
+        out_block[t] = static_cast<int32_t>(b);
+        int64_t s0 = t * e_tile;
+        for (int64_t j = 0; j < e_tile; ++j) {
+          src_slots[s0 + j] = 0;
+          dst_slots[s0 + j] = base;
+          edge_pos[s0 + j] = 0;
+          mask[s0 + j] = 0.0f;
+        }
+      }
+      int64_t e0 = edge_start[b], e1 = edge_start[b + 1];
+      for (int64_t e = e0; e < e1; ++e) {
+        int64_t p = e - e0;
+        int64_t slot = (t0 + p / e_tile) * e_tile + p % e_tile;
+        dst_slots[slot] = dst_sorted[e];
+        src_slots[slot] = src ? src[e] : 0;
+        edge_pos[slot] = static_cast<int32_t>(e);
+        mask[slot] = 1.0f;
+      }
+    }
+  });
+  (void)num_tiles;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// MatrixMarket loader (coordinate real/pattern/integer, general/symmetric)
+// — parity with `read_mtx_file` (`csrc/dataloader/dataloader.hpp:66-150`).
+// Phase 1 returns nnz (after symmetric expansion); phase 2 fills arrays.
+// ---------------------------------------------------------------------------
+struct MtxInfo {
+  int64_t rows, cols, nnz_out;
+  int symmetric, pattern;
+};
+
+static int mtx_parse_header(FILE* f, MtxInfo* info) {
+  char line[1024];
+  if (!fgets(line, sizeof line, f)) return -1;
+  if (strncmp(line, "%%MatrixMarket", 14) != 0) return -2;
+  info->symmetric = strstr(line, "symmetric") != nullptr;
+  info->pattern = strstr(line, "pattern") != nullptr;
+  if (strstr(line, "coordinate") == nullptr) return -3;
+  while (fgets(line, sizeof line, f)) {
+    if (line[0] == '%') continue;
+    long long r, c, n;
+    if (sscanf(line, "%lld %lld %lld", &r, &c, &n) != 3) return -4;
+    info->rows = r;
+    info->cols = c;
+    info->nnz_out = n;
+    return 0;
+  }
+  return -5;
+}
+
+int64_t geot_mtx_open(const char* path, int64_t* rows, int64_t* cols,
+                      int* symmetric) {
+  FILE* f = fopen(path, "r");
+  if (!f) return -1;
+  MtxInfo info{};
+  int rc = mtx_parse_header(f, &info);
+  fclose(f);
+  if (rc) return rc - 10;
+  *rows = info.rows;
+  *cols = info.cols;
+  *symmetric = info.symmetric;
+  // upper bound on output nnz (symmetric: off-diagonals duplicated)
+  return info.symmetric ? 2 * info.nnz_out : info.nnz_out;
+}
+
+int64_t geot_mtx_read(const char* path, int32_t* row_out, int32_t* col_out,
+                      float* val_out, int64_t cap) {
+  FILE* f = fopen(path, "r");
+  if (!f) return -1;
+  MtxInfo info{};
+  if (mtx_parse_header(f, &info)) {
+    fclose(f);
+    return -2;
+  }
+  int64_t n = 0;
+  char line[1024];
+  for (int64_t i = 0; i < info.nnz_out; ++i) {
+    if (!fgets(line, sizeof line, f)) break;
+    long long r, c;
+    double v = 1.0;
+    int got = info.pattern ? sscanf(line, "%lld %lld", &r, &c)
+                           : sscanf(line, "%lld %lld %lf", &r, &c, &v);
+    if (got < 2) {
+      fclose(f);
+      return -3;
+    }
+    if (n >= cap) {
+      fclose(f);
+      return -4;
+    }
+    row_out[n] = static_cast<int32_t>(r - 1);
+    col_out[n] = static_cast<int32_t>(c - 1);
+    if (val_out) val_out[n] = static_cast<float>(v);
+    ++n;
+    if (info.symmetric && r != c) {
+      if (n >= cap) {
+        fclose(f);
+        return -4;
+      }
+      row_out[n] = static_cast<int32_t>(c - 1);
+      col_out[n] = static_cast<int32_t>(r - 1);
+      if (val_out) val_out[n] = static_cast<float>(v);
+      ++n;
+    }
+  }
+  fclose(f);
+  return n;
+}
+
+// CSR row pointer from dst-sorted destinations (coo_to_csr parity,
+// `geot/match_replace/format_transform.py:5-18`).
+int geot_coo_to_csr(const int32_t* dst_sorted, int64_t nnz, int32_t num_rows,
+                    int32_t* indptr_out /* [num_rows+1] */) {
+  std::vector<int64_t> cnt(num_rows, 0);
+  for (int64_t i = 0; i < nnz; ++i) {
+    int32_t d = dst_sorted[i];
+    if (d < 0 || d >= num_rows) return -1;
+    cnt[d]++;
+  }
+  indptr_out[0] = 0;
+  for (int32_t r = 0; r < num_rows; ++r)
+    indptr_out[r + 1] = indptr_out[r] + static_cast<int32_t>(cnt[r]);
+  return 0;
+}
+
+}  // extern "C"

@@ -6,8 +6,10 @@ from geot_tpu.ops.api import (
     mh_spmm,
     mh_spmm_transposed,
     sddmm_coo,
+    segment_softmax,
     segment_spmm,
     segment_counts,
+    gat_attention_spmm,
 )
 from geot_tpu.ops import reference
 
@@ -19,7 +21,9 @@ __all__ = [
     "mh_spmm",
     "mh_spmm_transposed",
     "sddmm_coo",
+    "segment_softmax",
     "segment_spmm",
+    "gat_attention_spmm",
     "segment_counts",
     "reference",
 ]

@@ -55,6 +55,7 @@ __all__ = [
     "segment_softmax",
     "segment_spmm",
     "segment_counts",
+    "gat_attention_spmm",
 ]
 
 
@@ -63,7 +64,15 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_mode(n_features: int, plan: SegmentPlan) -> str:
-    if n_features <= 16 and plan.s_tile % 128 == 0:
+    """SR puts features on lanes — at N < 128 the lane padding multiplies
+    gather+kernel traffic by 128/N, so narrow features take the PR layout
+    (edges on lanes, features on sublanes; reference splits the same way at
+    feature_size<8, `csrc/cuda/wrapper/index_scatter_rule.h`). The plan's
+    `mode_hint` (from the tuning table / sweep) overrides when legal."""
+    pr_legal = plan.s_tile % 128 == 0 and n_features <= 128
+    if plan.mode_hint in ("sr", "pr"):
+        return plan.mode_hint if (plan.mode_hint == "sr" or pr_legal) else "sr"
+    if n_features <= 64 and pr_legal:
         return "pr"
     return "sr"
 
@@ -519,6 +528,94 @@ def mh_spmm_transposed(
     """Head-major weights [H, nnz] (reference `geot/mh_spmm.py:10-12`
     transposes then calls the edge-major op)."""
     return mh_spmm(src_index, dst_index, weight_t.T, src, num_segments, **kw)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_mh_slot(use_pallas: bool, head_dim: int):
+    """Differentiable slot-space multi-head weighted segment sum:
+    (vals [T*E, H*D] slot-ordered, w [T*E, H] slot-ordered) → [S_pad, H*D].
+    The composable primitive behind the fused GAT path — backward is pure
+    gathers, so JAX autodiff composes through the softmax around it.
+    head_dim is closed over (must stay trace-static for the kernel grid)."""
+
+    @jax.custom_vjp
+    def f(vals, w, plan):
+        if use_pallas:
+            return plan_segment_sum_mh(plan, vals, w, head_dim)
+        te, HD = vals.shape
+        H = w.shape[1]
+        vw = vals.reshape(te, H, HD // H) * w[:, :, None].astype(vals.dtype)
+        return (
+            jnp.zeros((plan.padded_segments, H, HD // H), jnp.float32)
+            .at[plan.dst_slots.reshape(-1)]
+            .add(vw, mode="drop")
+            .reshape(plan.padded_segments, HD)
+            .astype(vals.dtype)
+        )
+
+    def fwd(vals, w, plan):
+        return f(vals, w, plan), (vals, w, plan)
+
+    def bwd(res, g):
+        vals, w, plan = res
+        te, HD = vals.shape
+        H = w.shape[1]
+        gs = g[plan.dst_slots.reshape(-1)]  # [T*E, H*D]
+        g3 = gs.reshape(te, H, HD // H)
+        dvals = (g3 * w[:, :, None].astype(g3.dtype)).reshape(te, HD)
+        dw = jnp.sum(g3 * vals.reshape(te, H, HD // H), axis=-1).astype(w.dtype)
+        return (dvals, dw, None)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def gat_attention_spmm(
+    graph: Graph,
+    xh: jax.Array,
+    alpha_src: jax.Array,
+    alpha_dst: jax.Array,
+    *,
+    negative_slope: float = 0.2,
+    backend: str = "auto",
+) -> jax.Array:
+    """Fused GAT attention + multi-head aggregation, computed in slot space.
+
+    xh: [nodes, H, D] transformed features; alpha_src/alpha_dst: [nodes, H]
+    per-node attention terms. Equivalent to
+    `segment_softmax(leaky_relu(a_s[src]+a_d[dst]), dst)` feeding `mh_spmm`,
+    but logits, softmax, and weights never exist in edge order — everything
+    is produced directly in the plan's slot layout, eliminating the runtime
+    nnz-scalar permutation (the same cost hoisted for static weights in
+    `geot_tpu.graph.structures`). Fully differentiable.
+    """
+    plan = graph.plan
+    te = plan.src_slots.size
+    H = alpha_src.shape[1]
+    D = xh.shape[-1]
+    sflat = plan.src_slots.reshape(-1)
+    dflat = plan.dst_slots.reshape(-1)
+    mask = plan.mask.reshape(-1)
+    logits = jax.nn.leaky_relu(
+        alpha_src[sflat] + alpha_dst[dflat], negative_slope
+    )  # [T*E, H]
+    neg = jnp.asarray(-1e30, logits.dtype)
+    logits = jnp.where(mask[:, None] > 0, logits, neg)
+    m = (
+        jnp.full((plan.padded_segments, H), neg)
+        .at[dflat]
+        .max(logits, mode="drop")
+    )
+    m = jnp.maximum(m, -1e29)  # empty segments
+    e = jnp.exp(logits - m[dflat]) * mask[:, None].astype(logits.dtype)
+    use_p = _use_pallas(backend)
+    # denominator: per-head segment sum of e (vals=1 trick: reuse mh kernel
+    # with D=1 per head)
+    s = _make_mh_slot(use_p, 1)(jnp.ones((te, H), e.dtype), e, plan)  # [S_pad, H]
+    att = e / jnp.maximum(s, 1e-16)[dflat]
+    vals = xh.reshape(-1, H * D)[sflat]
+    out = _make_mh_slot(use_p, D)(vals, att.astype(vals.dtype), plan)
+    return out[: graph.num_nodes].reshape(graph.num_nodes, H, D)
 
 
 def segment_softmax(

@@ -97,7 +97,6 @@ def make_dist_train_step(
         jax.jit,
         in_shardings=(repl, repl, ns, ns, ns),
         out_shardings=(repl, repl, repl),
-        donate_argnums=(0, 1),
     )
     def step(params, opt_state, x, y, mask):
         loss, grads = jax.value_and_grad(loss_fn)(params, x, y, mask)

@@ -19,6 +19,7 @@ Run:  python -m geot_tpu.tuning.sweep --datasets cora ogbn-arxiv \
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import itertools
 import json
 import os
@@ -69,6 +70,12 @@ def measure_config(
         g = build_graph(
             src, dst, n_nodes, edge_weight=w, e_tile=cfg.e_tile, s_tile=cfg.s_tile
         )
+        # force the swept layout through the plan's mode hint
+        g = dataclasses.replace(
+            g,
+            plan=dataclasses.replace(g.plan, mode_hint=cfg.mode),
+            plan_t=dataclasses.replace(g.plan_t, mode_hint=cfg.mode),
+        )
         x = jnp.asarray(
             rng.standard_normal((n_nodes, n_features)).astype(np.float32)
         )
@@ -95,6 +102,7 @@ def sweep_graph(
     *,
     iters: int = 30,
     verbose: bool = True,
+    out_path: Optional[str] = None,
 ) -> Dict[str, Tuple[KernelConfig, float]]:
     """Best config per feature size for one graph. Returns
     {bucket_key: (config, seconds)}."""
@@ -114,6 +122,8 @@ def sweep_graph(
                 print(f"N={n_feat} {cfg.key()}: {t*1e3:.3f} ms")
         if verbose and k in best:
             print(f"--> N={n_feat} best: {best[k][0].key()} {best[k][1]*1e3:.3f} ms")
+        if out_path and k in best:
+            write_table({k: best[k]}, out_path)  # incremental: survive kills
     return best
 
 
@@ -150,7 +160,9 @@ def main() -> None:
         n, e, _, _ = DATASET_SHAPES[name]
         d = synthetic_graph(n, e, power=1.0, seed=0)
         print(f"== {name}: {n} nodes, {e} edges")
-        res = sweep_graph(d.src, d.dst, n, args.features, iters=args.iters)
+        res = sweep_graph(
+            d.src, d.dst, n, args.features, iters=args.iters, out_path=args.out
+        )
         for k, v in res.items():
             if k not in merged or v[1] < merged[k][1]:
                 merged[k] = v

@@ -1,0 +1,56 @@
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np, jax, jax.numpy as jnp
+import geot_tpu
+from geot_tpu.graph import build_graph
+from geot_tpu.models import GCN, prepare_graph, train_node_classifier
+from geot_tpu.graph.datasets import synthetic_classification_graph
+
+print("backend:", jax.default_backend(), jax.devices()[0].device_kind)
+rng = np.random.default_rng(0)
+n, e, F = 500, 3000, 64
+src = rng.integers(0, n, e).astype(np.int32)
+dst = np.sort(rng.integers(0, n, e).astype(np.int32))
+w = rng.standard_normal(e).astype(np.float32)
+x = rng.standard_normal((n, F)).astype(np.float32)
+g = build_graph(src, dst, n, edge_weight=w, assume_sorted=True)
+
+out = jax.jit(lambda xx: geot_tpu.segment_spmm(g, xx))(jnp.asarray(x))
+adj = np.zeros((n, n), np.float64); np.add.at(adj, (dst, src), w)
+ref = adj @ x
+np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-3)
+print("fwd spmm vs dense oracle: OK")
+
+# determinism
+out2 = jax.jit(lambda xx: geot_tpu.segment_spmm(g, xx))(jnp.asarray(x))
+assert np.array_equal(np.asarray(out), np.asarray(out2)); print("bit-deterministic: OK")
+
+# grad through gather_weight_scatter
+co = rng.standard_normal((n, F)).astype(np.float32)
+def f(xx, ww):
+    return jnp.vdot(geot_tpu.gather_weight_scatter(g.src, g.dst, ww, xx, n, graph=g), co)
+gx, gw = jax.jit(jax.grad(f, argnums=(0,1)))(jnp.asarray(x), jnp.asarray(w))
+gx_ref = adj.T @ co
+gw_ref = (co[dst] * x[src]).sum(1)
+np.testing.assert_allclose(np.asarray(gx), gx_ref, rtol=1e-3, atol=1e-3)
+np.testing.assert_allclose(np.asarray(gw), gw_ref, rtol=1e-3, atol=1e-3)
+print("grad (transpose plan + sddmm): OK")
+
+# model training on TPU
+d = synthetic_classification_graph(400, 2400, 4, seed=1)
+gg = prepare_graph(d.src, d.dst, 400, add_self_loops=True)
+model = GCN(hidden_features=32, num_layers=2, out_features=4)
+params, metrics = train_node_classifier(model, gg, jnp.asarray(d.x), jnp.asarray(d.y),
+    jnp.asarray(d.train_mask), jnp.asarray(d.val_mask), epochs=60, lr=0.02)
+print("GCN train on TPU:", metrics)
+assert metrics["train_acc"] > 0.85, metrics
+print("ALL DRIVE CHECKS PASSED")
+
+# fused GAT path on TPU
+from geot_tpu.ops import api as _api
+xh = jnp.asarray(rng.standard_normal((400, 4, 32)).astype(np.float32))
+a_s = jnp.asarray(0.3*rng.standard_normal((400, 4)).astype(np.float32))
+a_d = jnp.asarray(0.3*rng.standard_normal((400, 4)).astype(np.float32))
+out_gat = jax.jit(lambda *a: _api.gat_attention_spmm(gg, *a))(xh, a_s, a_d)
+assert np.isfinite(np.asarray(out_gat)).all()
+print("fused GAT attention on TPU: OK")

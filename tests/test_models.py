@@ -235,3 +235,19 @@ def test_pallas_vs_reference_backend_model_parity():
     np.testing.assert_allclose(
         np.asarray(out_ref), np.asarray(out_pal), rtol=1e-4, atol=1e-5
     )
+
+
+def test_gcn_bf16_compute():
+    """bf16 compute dtype: outputs finite, close to f32 within bf16 tol."""
+    rng = np.random.default_rng(9)
+    g, _, _ = _rand_graph(rng, self_loops=True)
+    x = jnp.asarray(rng.standard_normal((g.num_nodes, 32), dtype=np.float32))
+    m32 = GCN(hidden_features=16, num_layers=2, out_features=4)
+    mbf = GCN(hidden_features=16, num_layers=2, out_features=4,
+              dtype=jnp.bfloat16)
+    params = m32.init(jax.random.PRNGKey(0), x, g)
+    o32 = m32.apply(params, x, g)
+    obf = mbf.apply(params, x, g)
+    assert obf.dtype == jnp.bfloat16
+    scale = float(jnp.max(jnp.abs(o32))) + 1e-6
+    assert float(jnp.max(jnp.abs(obf.astype(jnp.float32) - o32))) < 0.1 * scale

@@ -215,3 +215,47 @@ def test_gather_weight_scatter_bf16():
     scale = float(jnp.max(jnp.abs(expect))) + 1e-6
     diff = float(jnp.max(jnp.abs(out_bf.astype(jnp.float32) - expect)))
     assert diff < 0.05 * scale, (diff, scale)
+
+
+def test_gat_attention_spmm_matches_edge_order():
+    """Fused slot-space attention ≡ segment_softmax + mh_spmm (fwd + grad)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from geot_tpu.models.conv import prepare_graph
+    from geot_tpu.ops import api as ops
+    from geot_tpu.ops import reference as refmod
+
+    rng = np.random.default_rng(50)
+    n, e, H, D = 70, 400, 4, 8
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = rng.integers(0, n, e).astype(np.int32)
+    g = prepare_graph(src, dst, n, add_self_loops=True, e_tile=64, s_tile=128)
+    xh = jnp.asarray(rng.standard_normal((n, H, D)).astype(np.float32))
+    a_s = jnp.asarray(0.3 * rng.standard_normal((n, H)).astype(np.float32))
+    a_d = jnp.asarray(0.3 * rng.standard_normal((n, H)).astype(np.float32))
+
+    def edge_order(xh, a_s, a_d):
+        logits = jax.nn.leaky_relu(a_s[g.src] + a_d[g.dst], 0.2)
+        att = ops.segment_softmax(logits, g.dst, n)
+        return refmod.mh_spmm_ref(g.src, g.dst, att, xh, n)
+
+    def fused(xh, a_s, a_d):
+        return ops.gat_attention_spmm(g, xh, a_s, a_d, backend="pallas")
+
+    out_e = edge_order(xh, a_s, a_d)
+    out_f = fused(xh, a_s, a_d)
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_e), rtol=1e-4, atol=1e-4
+    )
+    co = jnp.asarray(rng.standard_normal((n, H, D)).astype(np.float32))
+    ge = jax.grad(lambda *a: jnp.vdot(edge_order(*a), co), argnums=(0, 1, 2))(
+        xh, a_s, a_d
+    )
+    gf = jax.grad(lambda *a: jnp.vdot(fused(*a), co), argnums=(0, 1, 2))(
+        xh, a_s, a_d
+    )
+    for a, b in zip(ge, gf):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+        )

@@ -1,0 +1,53 @@
+"""Tuning layer: heuristics, table lookup, augmentation, sweep plumbing."""
+
+import json
+import os
+
+import numpy as np
+
+import geot_tpu.tuning.heuristics as H
+from geot_tpu.tuning.augment import augment_sorted_index, noise_augment, scale_augment
+from geot_tpu.tuning.heuristics import KernelConfig, select_config
+from geot_tpu.tuning.sweep import measure_config, write_table
+
+
+def test_select_config_heuristic_shapes():
+    cfg = select_config(8, 100_000, 10_000)
+    assert cfg.mode == "pr"
+    cfg = select_config(128, 1_000_000, 10_000)  # avg 100
+    assert cfg.mode == "sr" and cfg.e_tile >= 256
+    cfg = select_config(128, 10_000, 9_000)  # avg ~1
+    assert cfg.s_tile <= 128
+
+
+def test_table_lookup_roundtrip(tmp_path, monkeypatch):
+    path = str(tmp_path / "table.json")
+    k = f"{H._bucket(64)}:{H._bucket(500_000)}:{H._bucket(10)}"
+    write_table({k: (KernelConfig("sr", 512, 256, 256), 1.0)}, path)
+    assert os.path.exists(path)
+    monkeypatch.setenv(H.TABLE_ENV, path)
+    H._table_cache = None
+    cfg = select_config(64, 500_000, 50_000)
+    assert (cfg.e_tile, cfg.s_tile, cfg.f_tile) == (512, 256, 256)
+    H._table_cache = None
+
+
+def test_augmentations_preserve_sortedness():
+    idx = np.sort(np.random.default_rng(0).integers(0, 50, 400))
+    for name, a in augment_sorted_index(idx):
+        assert (np.diff(a) >= 0).all(), name
+    assert len(noise_augment(idx)) == 5
+    lens = [len(a) for a in scale_augment(idx)]
+    assert lens == [100, 200, 800, 1600]
+
+
+def test_measure_config_interpret_smoke():
+    """measure_config runs (interpret mode on CPU) and rejects nothing on a
+    valid config."""
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 60, 300).astype(np.int32)
+    dst = rng.integers(0, 60, 300).astype(np.int32)
+    t = measure_config(
+        KernelConfig("sr", 64, 64, 128), src, dst, 60, 16, iters=2
+    )
+    assert t is not None and t > 0
