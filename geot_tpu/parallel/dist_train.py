@@ -21,7 +21,7 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from geot_tpu.parallel.halo_spmm import halo_spmm, node_sharding, pad_nodes
+from geot_tpu.parallel.halo_spmm import block_nodes, halo_spmm, node_sharding
 from geot_tpu.parallel.partition import PartitionedGraph, partition_graph
 
 __all__ = ["init_gcn_params", "gcn_forward", "make_dist_train_step", "shard_inputs"]
@@ -63,9 +63,9 @@ def gcn_forward(
 def shard_inputs(x, y, mask, pg: PartitionedGraph, mesh: Mesh):
     """Pad node-indexed arrays to the partition size and shard over parts."""
     ns = node_sharding(mesh)
-    xp = jax.device_put(pad_nodes(jnp.asarray(x), pg), ns)
-    yp = jax.device_put(pad_nodes(jnp.asarray(y), pg), ns)
-    mp = jax.device_put(pad_nodes(jnp.asarray(mask), pg), ns)
+    xp = jax.device_put(block_nodes(jnp.asarray(x), pg), ns)
+    yp = jax.device_put(block_nodes(jnp.asarray(y), pg), ns)
+    mp = jax.device_put(block_nodes(jnp.asarray(mask), pg), ns)
     return xp, yp, mp
 
 

@@ -32,7 +32,7 @@ from geot_tpu.ops import reference as ref
 from geot_tpu.ops.pallas_segment import plan_segment_sum_sr
 from geot_tpu.parallel.partition import PartitionedGraph
 
-__all__ = ["halo_spmm", "node_sharding", "pad_nodes"]
+__all__ = ["halo_spmm", "node_sharding", "block_nodes", "unblock_nodes", "pad_nodes"]
 
 
 def node_sharding(mesh: Mesh, axis: str = "parts") -> NamedSharding:
@@ -40,12 +40,44 @@ def node_sharding(mesh: Mesh, axis: str = "parts") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 
 
+def _block_index(pg: PartitionedGraph):
+    """(gather_index [P*npp], valid [P*npp]) mapping blocked rows → global
+    node ids for the edge-balanced variable-width ranges."""
+    import numpy as np
+
+    starts = np.asarray(pg.part_start[:-1], np.int64)
+    ends = np.asarray(pg.part_start[1:], np.int64)
+    npp = pg.nodes_per_part
+    idx = (starts[:, None] + np.arange(npp)[None, :]).reshape(-1)
+    valid = idx < np.repeat(ends, npp)
+    return np.minimum(idx, pg.num_nodes - 1), valid
+
+
+def block_nodes(x: jax.Array, pg: PartitionedGraph) -> jax.Array:
+    """[num_nodes, ...] → blocked [P*nodes_per_part, ...] layout: part p's
+    rows at [p*npp, p*npp + width_p), zero padding beyond. Row counts per
+    part are unequal (edge-balanced ranges), so this is a gather, not a
+    reshape."""
+    idx, valid = _block_index(pg)
+    out = x[jnp.asarray(idx)]
+    v = jnp.asarray(valid).reshape((-1,) + (1,) * (x.ndim - 1))
+    return out * v.astype(out.dtype) if jnp.issubdtype(out.dtype, jnp.inexact) else jnp.where(v, out, 0)
+
+
+def unblock_nodes(xb: jax.Array, pg: PartitionedGraph) -> jax.Array:
+    """Inverse of `block_nodes`: blocked [P*npp, ...] → [num_nodes, ...]."""
+    import numpy as np
+
+    starts = np.asarray(pg.part_start[:-1], np.int64)
+    g = np.arange(pg.num_nodes)
+    owner = np.searchsorted(np.asarray(pg.part_start), g, side="right") - 1
+    pos = owner * pg.nodes_per_part + (g - starts[owner])
+    return xb[jnp.asarray(pos)]
+
+
 def pad_nodes(x: jax.Array, pg: PartitionedGraph) -> jax.Array:
-    """Pad a [num_nodes, ...] array to the partition's padded node count."""
-    pad = pg.padded_nodes - x.shape[0]
-    if pad == 0:
-        return x
-    return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    """Alias of `block_nodes` (kept for earlier call sites)."""
+    return block_nodes(x, pg)
 
 
 def _unbatch_plan(plan: SegmentPlan) -> SegmentPlan:

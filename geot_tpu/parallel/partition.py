@@ -117,11 +117,28 @@ class PartitionedGraph:
     num_parts: int = dataclasses.field(metadata=dict(static=True))
     nodes_per_part: int = dataclasses.field(metadata=dict(static=True))
     halo: int = dataclasses.field(metadata=dict(static=True))
-    num_nodes: int = dataclasses.field(metadata=dict(static=True))
+    # global node id where each part's range begins (+ total): length P+1.
+    # Static (host-known) — drives the blocked node layout.
+    part_start: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+    num_nodes: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def padded_nodes(self) -> int:
         return self.num_parts * self.nodes_per_part
+
+
+def _balanced_bounds(dst_sorted: np.ndarray, num_nodes: int, P: int) -> np.ndarray:
+    """Contiguous node-range boundaries with ~equal edges per part (the
+    partition-level analogue of the nnz-balanced schedule inside the plan;
+    equal-NODE splits put most edges on one chip for power-law graphs)."""
+    nnz = len(dst_sorted)
+    bounds = np.zeros(P + 1, np.int64)
+    bounds[P] = num_nodes
+    for p in range(1, P):
+        pos = (p * nnz) // P
+        b = int(dst_sorted[min(pos, nnz - 1)]) if nnz else (p * num_nodes) // P
+        bounds[p] = min(max(b, bounds[p - 1] + 1), num_nodes - (P - p))
+    return bounds
 
 
 def partition_graph(
@@ -135,7 +152,10 @@ def partition_graph(
     s_tile: int = 256,
 ) -> PartitionedGraph:
     """Host-side partitioning of a COO edge list (any order) into
-    `num_parts` dst-contiguous parts with a halo exchange schedule.
+    `num_parts` dst-contiguous, edge-balanced parts with a halo exchange
+    schedule. Part p owns global nodes [part_start[p], part_start[p+1]),
+    stored in a padded block of `nodes_per_part` local rows (use
+    `halo_spmm.block_nodes` / `unblock_nodes` for the layout).
 
     Weights (if given) are baked into the plan's slot weights — pass the
     final aggregation weights (e.g. GCN-normalized; see
@@ -150,9 +170,12 @@ def partition_graph(
         w = w[order]
 
     P = int(num_parts)
-    npp = _cdiv(max(num_nodes, 1), P)
-    # per-part contiguous edge ranges (dst-sorted ⇒ searchsorted bounds)
-    bounds = np.searchsorted(dst, np.arange(0, (P + 1) * npp, npp))
+    starts = _balanced_bounds(dst, num_nodes, P)
+    npp = int(max(np.diff(starts).max(), 1)) if P else 1
+    # round the padded block to a sublane multiple
+    npp = _cdiv(npp, 8) * 8
+    bounds = np.searchsorted(dst, starts)
+    owner_of = np.searchsorted(starts, np.arange(num_nodes), side="right") - 1
 
     # halo schedule: unique sources each part needs from each owner
     send_lists = [[[] for _ in range(P)] for _ in range(P)]  # [owner][dest_part]
@@ -163,19 +186,17 @@ def partition_graph(
         lo, hi = bounds[p], bounds[p + 1]
         s_p, d_p = src[lo:hi], dst[lo:hi]
         w_p = None if w is None else w[lo:hi]
-        owner = s_p // npp
         # unique (owner, local_src) pairs → slot within that owner's send list
         uniq, inv = np.unique(s_p, return_inverse=True)
-        uo = uniq // npp
+        uo = owner_of[uniq]
         slot_of_uniq = np.empty(len(uniq), np.int64)
         for q in range(P):
             sel = np.where(uo == q)[0]
             slot_of_uniq[sel] = np.arange(len(sel))
-            send_lists[q][p] = (uniq[sel] - q * npp).astype(np.int64)
+            send_lists[q][p] = (uniq[sel] - starts[q]).astype(np.int64)
         recv_pos_parts.append((uo[inv], slot_of_uniq[inv]))
-        local_dst_parts.append(d_p - p * npp)
+        local_dst_parts.append(d_p - starts[p])
         w_parts.append(w_p)
-        del owner
 
     H = max(
         (len(send_lists[q][p]) for q in range(P) for p in range(P)), default=1
@@ -247,5 +268,6 @@ def partition_graph(
         num_parts=P,
         nodes_per_part=int(npp),
         halo=int(H),
+        part_start=tuple(int(b) for b in starts),
         num_nodes=int(num_nodes),
     )

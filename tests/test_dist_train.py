@@ -88,9 +88,13 @@ def test_dist_forward_part_count_invariance():
     params = init_gcn_params(jax.random.PRNGKey(1), [8, 16, 4])
     x2, _, _ = shard_inputs(d.x, d.y, d.train_mask, pg2, mesh2)
     x4, _, _ = shard_inputs(d.x, d.y, d.train_mask, pg4, mesh4)
+    from geot_tpu.parallel import unblock_nodes
+
     o2 = gcn_forward(params, x2, pg2, mesh2, backend="reference")
     o4 = gcn_forward(params, x4, pg4, mesh4, backend="reference")
-    n = d.num_nodes
     np.testing.assert_allclose(
-        np.asarray(o2)[:n], np.asarray(o4)[:n], rtol=1e-4, atol=1e-5
+        np.asarray(unblock_nodes(o2, pg2)),
+        np.asarray(unblock_nodes(o4, pg4)),
+        rtol=1e-4,
+        atol=1e-5,
     )

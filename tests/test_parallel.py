@@ -12,7 +12,13 @@ import pytest
 from jax.sharding import Mesh
 
 from geot_tpu.ops import reference as ref
-from geot_tpu.parallel import halo_spmm, node_sharding, pad_nodes, partition_graph
+from geot_tpu.parallel import (
+    block_nodes,
+    halo_spmm,
+    node_sharding,
+    partition_graph,
+    unblock_nodes,
+)
 
 
 def _mesh(n):
@@ -38,7 +44,7 @@ def test_halo_spmm_matches_reference(nparts, weighted):
     src, dst, w, x = _rand(nparts, weighted=weighted)
     n = x.shape[0]
     pg = partition_graph(src, dst, n, nparts, edge_weight=w, e_tile=64, s_tile=64)
-    xp = pad_nodes(jnp.asarray(x), pg)
+    xp = block_nodes(jnp.asarray(x), pg)
     xp = jax.device_put(xp, node_sharding(mesh))
     out = halo_spmm(xp, pg, mesh, backend="reference")
     expect = (
@@ -47,10 +53,12 @@ def test_halo_spmm_matches_reference(nparts, weighted):
         else ref.gather_scatter_ref(src, dst, jnp.asarray(x), n)
     )
     np.testing.assert_allclose(
-        np.asarray(out)[:n], np.asarray(expect), rtol=1e-4, atol=1e-4
+        np.asarray(unblock_nodes(out, pg)), np.asarray(expect), rtol=1e-4, atol=1e-4
     )
-    # padding rows receive nothing
-    assert np.all(np.asarray(out)[n:] == 0)
+    # blocked padding rows receive nothing
+    from geot_tpu.parallel.halo_spmm import _block_index
+    _, valid = _block_index(pg)
+    assert np.all(np.asarray(out)[~valid] == 0)
 
 
 def test_halo_spmm_pallas_interpret_matches():
@@ -58,7 +66,7 @@ def test_halo_spmm_pallas_interpret_matches():
     src, dst, w, x = _rand(11)
     n = x.shape[0]
     pg = partition_graph(src, dst, n, 4, edge_weight=w, e_tile=64, s_tile=64)
-    xp = jax.device_put(pad_nodes(jnp.asarray(x), pg), node_sharding(mesh))
+    xp = jax.device_put(block_nodes(jnp.asarray(x), pg), node_sharding(mesh))
     out_p = halo_spmm(xp, pg, mesh, backend="pallas")
     out_r = halo_spmm(xp, pg, mesh, backend="reference")
     np.testing.assert_allclose(
@@ -73,17 +81,17 @@ def test_halo_spmm_grad_matches_reference():
     pg = partition_graph(src, dst, n, 4, edge_weight=w, e_tile=64, s_tile=64)
     xj = jnp.asarray(x)
     co = jnp.asarray(
-        np.random.default_rng(0).standard_normal((pg.padded_nodes, 8)),
-        dtype=jnp.float32,
+        np.random.default_rng(0).standard_normal((n, 8)), dtype=jnp.float32
     )
+    co_blocked = block_nodes(co, pg)
 
     def f_dist(xin):
-        xp = jax.device_put(pad_nodes(xin, pg), node_sharding(mesh))
-        return jnp.vdot(halo_spmm(xp, pg, mesh, backend="reference"), co)
+        xp = jax.device_put(block_nodes(xin, pg), node_sharding(mesh))
+        return jnp.vdot(halo_spmm(xp, pg, mesh, backend="reference"), co_blocked)
 
     def f_ref(xin):
         out = ref.gather_weight_scatter_ref(src, dst, jnp.asarray(w), xin, n)
-        return jnp.vdot(out, co[:n])
+        return jnp.vdot(out, co)
 
     g_dist = jax.grad(f_dist)(xj)
     g_ref = jax.grad(f_ref)(xj)
@@ -95,7 +103,7 @@ def test_halo_spmm_under_jit():
     src, dst, w, x = _rand(31, f=8)
     n = x.shape[0]
     pg = partition_graph(src, dst, n, 4, edge_weight=w, e_tile=64, s_tile=64)
-    xp = jax.device_put(pad_nodes(jnp.asarray(x), pg), node_sharding(mesh))
+    xp = jax.device_put(block_nodes(jnp.asarray(x), pg), node_sharding(mesh))
 
     @jax.jit
     def step(xin):
@@ -103,7 +111,9 @@ def test_halo_spmm_under_jit():
 
     out = step(xp)
     expect = ref.gather_weight_scatter_ref(src, dst, jnp.asarray(w), jnp.asarray(x), n)
-    np.testing.assert_allclose(np.asarray(out)[:n], np.asarray(expect), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(unblock_nodes(out, pg)), np.asarray(expect), rtol=1e-4, atol=1e-4
+    )
 
 
 def test_partition_empty_parts():
@@ -115,7 +125,9 @@ def test_partition_empty_parts():
     dst = rng.integers(0, 20, 200).astype(np.int32)  # only part 0 dsts
     x = rng.standard_normal((n, 8)).astype(np.float32)
     pg = partition_graph(src, dst, n, 4, e_tile=32, s_tile=32)
-    xp = jax.device_put(pad_nodes(jnp.asarray(x), pg), node_sharding(mesh))
+    xp = jax.device_put(block_nodes(jnp.asarray(x), pg), node_sharding(mesh))
     out = halo_spmm(xp, pg, mesh, backend="reference")
     expect = ref.gather_scatter_ref(src, dst, jnp.asarray(x), n)
-    np.testing.assert_allclose(np.asarray(out)[:n], np.asarray(expect), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(unblock_nodes(out, pg)), np.asarray(expect), rtol=1e-4, atol=1e-4
+    )
