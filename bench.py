@@ -51,8 +51,10 @@ def main() -> None:
     on_tpu = jax.default_backend() in ("tpu", "axon")
     backend = "pallas" if on_tpu else "reference"
 
-    fn = jax.jit(lambda x: ops.segment_spmm(g, x, backend=backend))
-    t = timeit(fn, x, warmup=5, iters=50)
+    # the graph is a jit ARGUMENT (closing over it would embed the plan
+    # arrays as program constants — multi-GB for products-scale graphs)
+    fn = jax.jit(lambda g, x: ops.segment_spmm(g, x, backend=backend))
+    t = timeit(fn, g, x, warmup=5, iters=50)
 
     sol_bytes = spmm_bytes(
         g.num_edges, n_feat, n_nodes, n_nodes, weighted=True, fused_gather=True

@@ -68,9 +68,9 @@ def run(args) -> None:
                         out_features=n_cls,
                         backend=backend,
                     )
-                    fn = jax.jit(lambda p, xx: m2.apply(p, xx, g))
+                    fn = jax.jit(lambda p, xx, gg: m2.apply(p, xx, gg))
                     try:
-                        t = timeit(fn, params, x, warmup=3, iters=args.iters)
+                        t = timeit(fn, params, x, g, warmup=3, iters=args.iters)
                     except Exception as exc:
                         print(f"{ds} {mname} h={hidden} {backend}: FAILED {exc}")
                         continue

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import csv
+import functools
 import os
 import sys
 
@@ -67,9 +68,17 @@ def run(args) -> None:
             )
             if args.op == "spmm":
                 variants = {
-                    "geot_pallas" if on_accel else "geot_interpret": jax.jit(
-                        lambda x, w: ops.gather_weight_scatter(
-                            g.src, g.dst, w, x, n_nodes, graph=g, backend="pallas"
+                    # functools.partial keeps the graph a jit *argument*
+                    # (a closure would embed the plan as program constants)
+                    "geot_pallas" if on_accel else "geot_interpret": (
+                        functools.partial(
+                            jax.jit(
+                                lambda gg, x, w: ops.gather_weight_scatter(
+                                    gg.src, gg.dst, w, x, n_nodes, graph=gg,
+                                    backend="pallas",
+                                )
+                            ),
+                            g,
                         )
                     ),
                     "xla_segment_sum": jax.jit(

@@ -49,11 +49,14 @@ def main() -> None:
     )
     params = model.init(jax.random.PRNGKey(0), x, g)
     t_total = timeit(
-        jax.jit(lambda p, xx: model.apply(p, xx, g)), params, x, iters=args.iters
+        jax.jit(lambda p, xx, gg: model.apply(p, xx, gg)), params, x, g,
+        iters=args.iters,
     )
 
     h = jnp.asarray(rng.standard_normal((n_nodes, args.hidden)).astype(np.float32))
-    t_spmm1 = timeit(jax.jit(lambda xx: ops.segment_spmm(g, xx)), h, iters=args.iters)
+    t_spmm1 = timeit(
+        jax.jit(lambda gg, xx: ops.segment_spmm(gg, xx)), g, h, iters=args.iters
+    )
     t_spmm = t_spmm1 * args.num_layers
 
     w_in = jnp.asarray(rng.standard_normal((feat, args.hidden)).astype(np.float32))

@@ -38,7 +38,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["SegmentPlan", "build_segment_plan", "plan_tile_bounds"]
+__all__ = [
+    "SegmentPlan",
+    "build_segment_plan",
+    "build_segment_plan_host",
+    "plan_from_host",
+    "plan_tile_bounds",
+    "compute_chunks",
+]
 
 
 def _cdiv(a, b):
@@ -78,6 +85,12 @@ class SegmentPlan:
     num_src_nodes: int = dataclasses.field(metadata=dict(static=True))
     # layout preference from the tuning layer: 'auto' | 'sr' | 'pr'
     mode_hint: str = dataclasses.field(default="auto", metadata=dict(static=True))
+    # streaming-execution chunks: ((t0, t1, w0, w1), ...) — tile range
+    # [t0,t1) covering output windows [w0,w1), window-aligned so chunk
+    # outputs are disjoint and concatenate to the full result. Empty tuple
+    # = single chunk. Bounds the [chunk_slots, F] gather materialization so
+    # reddit2/products-scale graphs fit in HBM.
+    chunks: tuple = dataclasses.field(default=(), metadata=dict(static=True))
 
     @property
     def num_tiles(self) -> int:
@@ -103,6 +116,36 @@ class SegmentPlan:
         return flat * m.astype(flat.dtype)
 
 
+def compute_chunks(
+    out_block: np.ndarray, max_tiles_per_chunk: int
+) -> tuple:
+    """Window-aligned chunk boundaries: greedy tile ranges of at most
+    `max_tiles_per_chunk`, cut at the last window start within the limit
+    (a window's tiles never straddle chunks, so chunk outputs are disjoint)."""
+    T = len(out_block)
+    if max_tiles_per_chunk <= 0 or T <= max_tiles_per_chunk:
+        return ()
+    # first tile of each window
+    first = np.concatenate([[0], np.nonzero(np.diff(out_block))[0] + 1])
+    chunks = []
+    t0 = 0
+    while t0 < T:
+        limit = t0 + max_tiles_per_chunk
+        if limit >= T:
+            t1 = T
+        else:
+            # last window start <= limit
+            k = np.searchsorted(first, limit, side="right") - 1
+            t1 = int(first[k])
+            if t1 <= t0:  # single window larger than the chunk limit
+                k2 = np.searchsorted(first, t0, side="right")
+                t1 = int(first[k2]) if k2 < len(first) else T
+        w0, w1 = int(out_block[t0]), int(out_block[t1 - 1]) + 1
+        chunks.append((int(t0), int(t1), w0, w1))
+        t0 = t1
+    return tuple(chunks) if len(chunks) > 1 else ()
+
+
 def plan_tile_bounds(num_edges: int, num_segments: int, e_tile: int, s_tile: int) -> int:
     """Static upper bound on the number of tiles a plan can need.
 
@@ -113,7 +156,7 @@ def plan_tile_bounds(num_edges: int, num_segments: int, e_tile: int, s_tile: int
     return _cdiv(num_edges, e_tile) + n_blocks
 
 
-def build_segment_plan(
+def build_segment_plan_host(
     dst: np.ndarray,
     src: Optional[np.ndarray],
     num_segments: int,
@@ -122,8 +165,12 @@ def build_segment_plan(
     s_tile: int = 256,
     num_src_nodes: Optional[int] = None,
     mode_hint: str = "auto",
-) -> SegmentPlan:
-    """Build a SegmentPlan from a dst-sorted COO edge list (host-side).
+    max_chunk_slots: int = 4 << 20,
+):
+    """Like `build_segment_plan` but returns (host_arrays: dict of numpy,
+    static_meta: dict) without touching the device — callers that derive
+    more host-side data from the slot arrays (cached slot weights, stats)
+    avoid a device round-trip on multi-GB plans.
 
     Args:
       dst: [nnz] destination segment ids, MUST be sorted ascending (the same
@@ -164,21 +211,22 @@ def build_segment_plan(
         dst.astype(np.int32), None if src is None else src_arr,
         num_segments, e_tile, s_tile,
     )
+    meta = dict(
+        e_tile=int(e_tile),
+        s_tile=int(s_tile),
+        num_segments=int(num_segments),
+        n_blocks=n_blocks,
+        num_edges=nnz,
+        num_src_nodes=n_src,
+        mode_hint=mode_hint,
+    )
     if nat is not None:
         src_sl, dst_sl, ep, mk, ob = nat
-        return SegmentPlan(
-            src_slots=jnp.asarray(src_sl),
-            dst_slots=jnp.asarray(dst_sl),
-            edge_pos=jnp.asarray(ep),
-            mask=jnp.asarray(mk),
-            out_block=jnp.asarray(ob),
-            e_tile=int(e_tile),
-            s_tile=int(s_tile),
-            num_segments=int(num_segments),
-            n_blocks=n_blocks,
-            num_edges=nnz,
-            num_src_nodes=n_src,
-            mode_hint=mode_hint,
+        meta["chunks"] = compute_chunks(ob, max_chunk_slots // e_tile)
+        return (
+            dict(src_slots=src_sl, dst_slots=dst_sl, edge_pos=ep, mask=mk,
+                 out_block=ob),
+            meta,
         )
 
     block_of_edge = dst // s_tile if nnz else np.zeros(0, dtype=np.int64)
@@ -211,17 +259,37 @@ def build_segment_plan(
         edge_pos.reshape(-1)[slot] = np.arange(nnz, dtype=np.int32)
         mask.reshape(-1)[slot] = 1.0
 
-    return SegmentPlan(
-        src_slots=jnp.asarray(src_slots, dtype=jnp.int32),
-        dst_slots=jnp.asarray(dst_slots.astype(np.int32)),
-        edge_pos=jnp.asarray(edge_pos, dtype=jnp.int32),
-        mask=jnp.asarray(mask, dtype=jnp.float32),
-        out_block=jnp.asarray(out_block, dtype=jnp.int32),
-        e_tile=int(e_tile),
-        s_tile=int(s_tile),
-        num_segments=int(num_segments),
-        n_blocks=int(n_blocks),
-        num_edges=nnz,
-        num_src_nodes=n_src,
-        mode_hint=mode_hint,
+    meta["chunks"] = compute_chunks(out_block, max_chunk_slots // e_tile)
+    return (
+        dict(
+            src_slots=src_slots.astype(np.int32),
+            dst_slots=dst_slots.astype(np.int32),
+            edge_pos=edge_pos.astype(np.int32),
+            mask=mask.astype(np.float32),
+            out_block=out_block.astype(np.int32),
+        ),
+        meta,
     )
+
+
+def plan_from_host(arrays: dict, meta: dict) -> SegmentPlan:
+    return SegmentPlan(
+        src_slots=jnp.asarray(arrays["src_slots"]),
+        dst_slots=jnp.asarray(arrays["dst_slots"]),
+        edge_pos=jnp.asarray(arrays["edge_pos"]),
+        mask=jnp.asarray(arrays["mask"]),
+        out_block=jnp.asarray(arrays["out_block"]),
+        **meta,
+    )
+
+
+def build_segment_plan(
+    dst: np.ndarray,
+    src: Optional[np.ndarray] = None,
+    num_segments: int = 0,
+    **kwargs,
+) -> SegmentPlan:
+    """Build a SegmentPlan from a dst-sorted COO edge list (host-side).
+    See `build_segment_plan_host` for the argument docs."""
+    arrays, meta = build_segment_plan_host(dst, src, num_segments, **kwargs)
+    return plan_from_host(arrays, meta)

@@ -23,7 +23,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from geot_tpu.graph.plan import SegmentPlan, build_segment_plan
+from geot_tpu.graph.plan import (
+    SegmentPlan,
+    build_segment_plan,
+    build_segment_plan_host,
+    plan_from_host,
+)
 
 __all__ = ["Graph", "build_graph"]
 
@@ -69,9 +74,9 @@ def _stable_sort_perm(key: np.ndarray, num_keys: int) -> np.ndarray:
     return np.argsort(key, kind="stable")
 
 
-def _slot_weights(plan: SegmentPlan, w: np.ndarray) -> np.ndarray:
-    ep = np.asarray(plan.edge_pos).reshape(-1)
-    mask = np.asarray(plan.mask)
+def _slot_weights_host(arrays: dict, w: np.ndarray) -> np.ndarray:
+    ep = arrays["edge_pos"].reshape(-1)
+    mask = arrays["mask"]
     ws = w[np.minimum(ep, len(w) - 1)].reshape(mask.shape)
     return (ws * mask).astype(np.float32)
 
@@ -111,13 +116,13 @@ def build_graph(
         src, dst = src[order], dst[order]
         if edge_weight is not None:
             edge_weight = edge_weight[order]
-    plan = build_segment_plan(
+    arrs, meta = build_segment_plan_host(
         dst, src, num_nodes, e_tile=e_tile, s_tile=s_tile,
         num_src_nodes=num_nodes, mode_hint=mode_hint,
     )
     # transpose: reduce over src; edges sorted by src
     perm_t = _stable_sort_perm(src, num_nodes)
-    plan_t = build_segment_plan(
+    arrs_t, meta_t = build_segment_plan_host(
         src[perm_t],
         dst[perm_t],
         num_nodes,
@@ -128,8 +133,11 @@ def build_graph(
     )
     w_slots = w_slots_t = None
     if edge_weight is not None and len(edge_weight):
-        w_slots = jnp.asarray(_slot_weights(plan, edge_weight))
-        w_slots_t = jnp.asarray(_slot_weights(plan_t, edge_weight[perm_t]))
+        # slot weights from the host arrays (no device round-trip)
+        w_slots = jnp.asarray(_slot_weights_host(arrs, edge_weight))
+        w_slots_t = jnp.asarray(_slot_weights_host(arrs_t, edge_weight[perm_t]))
+    plan = plan_from_host(arrs, meta)
+    plan_t = plan_from_host(arrs_t, meta_t)
     return Graph(
         src=jnp.asarray(src),
         dst=jnp.asarray(dst),

@@ -30,11 +30,13 @@ int hw_threads() {
   return n ? static_cast<int>(n) : 4;
 }
 
-// Run fn(t, lo, hi) over [0, n) split across threads.
+// Run fn(t, lo, hi) over [0, n) split across threads. `min_items` guards
+// against spawning threads for trivial work — callers with heavy per-item
+// work pass a small value.
 template <typename F>
-void parallel_for(int64_t n, F fn) {
+void parallel_for(int64_t n, F fn, int64_t min_items = (1 << 14)) {
   int nt = std::min<int64_t>(hw_threads(), std::max<int64_t>(n, 1));
-  if (nt <= 1 || n < (1 << 14)) {
+  if (nt <= 1 || n < min_items) {
     fn(0, 0, n);
     return;
   }
@@ -90,10 +92,35 @@ int geot_sort_by_key(const int32_t* key, int64_t nnz, int32_t num_keys,
     for (int64_t k = 0; k < num_keys; ++k)
       if (!local[t].empty()) count[k + 1] += local[t][k];
   for (int64_t k = 0; k < num_keys; ++k) count[k + 1] += count[k];
-  // stable fill: walk chunks in order per key — simplest stable variant is a
-  // serial pass (memory-bound anyway)
-  std::vector<int64_t> cursor(count.begin(), count.end() - 1);
-  for (int64_t i = 0; i < nnz; ++i) perm_out[cursor[key[i]]++] = static_cast<int32_t>(i);
+  // parallel stable fill: thread t's starting cursor for key k is the global
+  // prefix plus all lower-threads' counts of k, so threads fill their own
+  // input ranges independently and stability is preserved.
+  {
+    std::vector<std::thread> ts;
+    int64_t chunk = cdiv(std::max<int64_t>(nnz, 1), nt);
+    // turn local[t] into per-thread cursors (exclusive prefix over threads)
+    std::vector<std::vector<int64_t>> cursor(nt);
+    for (int t = 0; t < nt; ++t) {
+      cursor[t].assign(static_cast<int64_t>(num_keys), 0);
+      for (int64_t k = 0; k < num_keys; ++k) {
+        int64_t base = count[k];
+        for (int tp = 0; tp < t; ++tp)
+          if (!local[tp].empty()) base += local[tp][k];
+        cursor[t][k] = base;
+      }
+      if (t == 0) continue;
+    }
+    for (int t = 0; t < nt; ++t) {
+      int64_t lo = t * chunk, hi = std::min<int64_t>(nnz, lo + chunk);
+      if (lo >= hi) break;
+      ts.emplace_back([&, t, lo, hi] {
+        auto& cur = cursor[t];
+        for (int64_t i = lo; i < hi; ++i)
+          perm_out[cur[key[i]]++] = static_cast<int32_t>(i);
+      });
+    }
+    for (auto& th : ts) th.join();
+  }
   return 0;
 }
 
@@ -140,31 +167,55 @@ int geot_build_plan(const int32_t* dst_sorted, const int32_t* src,
   }
   int64_t num_tiles = tile_start[n_blocks];
 
-  parallel_for(n_blocks, [&](int, int64_t blo, int64_t bhi) {
-    for (int64_t b = blo; b < bhi; ++b) {
-      int64_t t0 = tile_start[b], t1 = tile_start[b + 1];
-      int32_t base = static_cast<int32_t>(b * s_tile);
-      for (int64_t t = t0; t < t1; ++t) {
-        out_block[t] = static_cast<int32_t>(b);
-        int64_t s0 = t * e_tile;
-        for (int64_t j = 0; j < e_tile; ++j) {
-          src_slots[s0 + j] = 0;
-          dst_slots[s0 + j] = base;
-          edge_pos[s0 + j] = 0;
-          mask[s0 + j] = 0.0f;
+  // split blocks across threads by EDGE count (power-law graphs put most
+  // edges in the first blocks; equal-block splits would serialize on one
+  // thread)
+  int nt_fill = hw_threads();
+  std::vector<int64_t> bsplit;
+  bsplit.push_back(0);
+  for (int t = 1; t < nt_fill; ++t) {
+    int64_t target = (nnz * t) / nt_fill;
+    int64_t b = std::lower_bound(edge_start.begin(), edge_start.end(), target) -
+                edge_start.begin();
+    b = std::min<int64_t>(std::max<int64_t>(b, bsplit.back()), n_blocks);
+    bsplit.push_back(b);
+  }
+  bsplit.push_back(n_blocks);
+  auto fill_blocks = [&](int64_t blo, int64_t bhi) {
+        for (int64_t b = blo; b < bhi; ++b) {
+          int64_t t0 = tile_start[b], t1 = tile_start[b + 1];
+          int32_t base = static_cast<int32_t>(b * s_tile);
+          int64_t s0 = t0 * e_tile, s1 = t1 * e_tile;
+          int64_t e0 = edge_start[b], e1 = edge_start[b + 1];
+          int64_t n_e = e1 - e0;
+          // real-edge prefix of the block's slot range, then padding tail —
+          // each array filled contiguously (vectorizable), no per-slot
+          // div/mod: within a block, slot == s0 + (e - e0).
+          for (int64_t t = t0; t < t1; ++t) out_block[t] = static_cast<int32_t>(b);
+          if (src) {
+            std::memcpy(src_slots + s0, src + e0, n_e * sizeof(int32_t));
+          } else {
+            std::fill(src_slots + s0, src_slots + s0 + n_e, 0);
+          }
+          std::memcpy(dst_slots + s0, dst_sorted + e0, n_e * sizeof(int32_t));
+          for (int64_t e = 0; e < n_e; ++e)
+            edge_pos[s0 + e] = static_cast<int32_t>(e0 + e);
+          std::fill(mask + s0, mask + s0 + n_e, 1.0f);
+          std::fill(src_slots + s0 + n_e, src_slots + s1, 0);
+          std::fill(dst_slots + s0 + n_e, dst_slots + s1, base);
+          std::fill(edge_pos + s0 + n_e, edge_pos + s1, 0);
+          std::fill(mask + s0 + n_e, mask + s1, 0.0f);
         }
-      }
-      int64_t e0 = edge_start[b], e1 = edge_start[b + 1];
-      for (int64_t e = e0; e < e1; ++e) {
-        int64_t p = e - e0;
-        int64_t slot = (t0 + p / e_tile) * e_tile + p % e_tile;
-        dst_slots[slot] = dst_sorted[e];
-        src_slots[slot] = src ? src[e] : 0;
-        edge_pos[slot] = static_cast<int32_t>(e);
-        mask[slot] = 1.0f;
-      }
+  };
+  {
+    std::vector<std::thread> ts;
+    for (size_t t = 0; t + 1 < bsplit.size(); ++t) {
+      int64_t blo = bsplit[t], bhi = bsplit[t + 1];
+      if (blo >= bhi) continue;
+      ts.emplace_back([&, blo, bhi] { fill_blocks(blo, bhi); });
     }
-  });
+    for (auto& th : ts) th.join();
+  }
   (void)num_tiles;
   return 0;
 }

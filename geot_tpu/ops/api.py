@@ -95,10 +95,28 @@ def _use_pallas(backend: str) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _plan_sum(plan: SegmentPlan, vals_slots: jax.Array, w_slots: jax.Array):
-    """Tiled segment sum of slot-ordered values. vals_slots: [T*E, N]."""
+import dataclasses as _dc
+
+
+def _chunk_plan(plan: SegmentPlan, c) -> SegmentPlan:
+    """Slice a window-aligned chunk out of a plan (output rows shift to 0)."""
+    t0, t1, w0, w1 = c
+    s = plan.s_tile
+    return _dc.replace(
+        plan,
+        src_slots=plan.src_slots[t0:t1],
+        dst_slots=plan.dst_slots[t0:t1] - w0 * s,
+        edge_pos=plan.edge_pos[t0:t1],
+        mask=plan.mask[t0:t1],
+        out_block=plan.out_block[t0:t1] - w0,
+        n_blocks=w1 - w0,
+        num_segments=min(max(plan.num_segments - w0 * s, 0), (w1 - w0) * s),
+        chunks=(),
+    )
+
+
+def _plan_sum_one(plan: SegmentPlan, vals_slots: jax.Array, w_slots: jax.Array, mode):
     n = vals_slots.shape[1]
-    mode = _pick_mode(n, plan)
     if mode == "pr":
         n_pad = _round_up(max(n, 1), 8)
         v_t = vals_slots.T
@@ -115,6 +133,45 @@ def _plan_sum(plan: SegmentPlan, vals_slots: jax.Array, w_slots: jax.Array):
     return out[: plan.num_segments, :n]
 
 
+def _plan_sum_gather(plan: SegmentPlan, gather_fn, w_slots: jax.Array, n: int):
+    """Tiled segment sum with streaming chunks: `gather_fn(lo, hi, token)`
+    returns the slot values [hi-lo, n] for slot rows [lo, hi) — called per
+    chunk so only one chunk's gather is ever materialized (plan.chunks is
+    built at graph-build time to bound that size). `token` (prev chunk's
+    output or None) must gate the gather's *source* via
+    `lax.optimization_barrier`, otherwise XLA schedules every chunk's
+    multi-GB gather concurrently and defeats the chunking."""
+    mode = _pick_mode(n, plan)
+    if not plan.chunks:
+        return _plan_sum_one(
+            plan, gather_fn(0, plan.num_tiles * plan.e_tile, None), w_slots, mode
+        )
+    outs = []
+    for c in plan.chunks:
+        cp = _chunk_plan(plan, c)
+        # depth-2 pipelining: chunk i's gather waits on chunk i-2's output,
+        # so at most two chunks are live while gather and kernel overlap
+        token = outs[-2] if len(outs) >= 2 else None
+        vals = gather_fn(c[0] * plan.e_tile, c[1] * plan.e_tile, token)
+        outs.append(_plan_sum_one(cp, vals, w_slots[c[0] : c[1]], mode))
+    return jnp.concatenate(outs, axis=0)[: plan.num_segments]
+
+
+def _gated(x: jax.Array, token) -> jax.Array:
+    """Sequence a chunk's gather after the previous chunk's output."""
+    if token is None:
+        return x
+    return jax.lax.optimization_barrier((x, token))[0]
+
+
+def _plan_sum(plan: SegmentPlan, vals_slots: jax.Array, w_slots: jax.Array):
+    """Tiled segment sum of pre-gathered slot-ordered values [T*E, N]."""
+    n = vals_slots.shape[1]
+    return _plan_sum_gather(
+        plan, lambda lo, hi, tok: vals_slots[lo:hi], w_slots, n
+    )
+
+
 def _w_slots(plan: SegmentPlan, w_edge: Optional[jax.Array]) -> jax.Array:
     if w_edge is None:
         return plan.mask
@@ -126,8 +183,13 @@ def _slot_spmm(plan: SegmentPlan, x: jax.Array, w_slots: jax.Array, use_pallas):
     engine once weights are already in slot order (cached on the Graph,
     avoiding the per-call nnz scalar gather)."""
     if use_pallas:
-        vals = x[plan.src_slots.reshape(-1)]
-        return _plan_sum(plan, vals, w_slots)
+        srcs = plan.src_slots.reshape(-1)
+        return _plan_sum_gather(
+            plan,
+            lambda lo, hi, tok: _gated(x, tok)[srcs[lo:hi]],
+            w_slots,
+            x.shape[1],
+        )
     vals = x[plan.src_slots.reshape(-1)] * w_slots.reshape(-1)[:, None].astype(x.dtype)
     return (
         jnp.zeros((plan.num_segments, x.shape[1]), jnp.float32)
@@ -167,8 +229,13 @@ def _spmm_fwd(plan, x, w_edge, src, dst, use_pallas):
         if w_edge is None:
             return ref.gather_scatter_ref(src, dst, x, plan.num_segments)
         return ref.gather_weight_scatter_ref(src, dst, w_edge, x, plan.num_segments)
-    vals = x[plan.src_slots.reshape(-1)]
-    return _plan_sum(plan, vals, _w_slots(plan, w_edge))
+    srcs = plan.src_slots.reshape(-1)
+    return _plan_sum_gather(
+        plan,
+        lambda lo, hi, tok: _gated(x, tok)[srcs[lo:hi]],
+        _w_slots(plan, w_edge),
+        x.shape[1],
+    )
 
 
 def _mh_fwd(plan, x, w_heads, src, dst, use_pallas):
@@ -305,8 +372,14 @@ def _make_iscat(use_pallas: bool):
     def iscat(vals, dst, plan):
         if not use_pallas:
             return ref.segment_reduce_ref(vals, dst, plan.num_segments, "sum")
-        vs = plan.gather_edge_values(vals).reshape(-1, vals.shape[-1])
-        return _plan_sum(plan, vs, plan.mask)
+        ep = plan.edge_pos.reshape(-1)
+        # padding slots carry edge 0's value but weight 0 via plan.mask
+        return _plan_sum_gather(
+            plan,
+            lambda lo, hi, tok: _gated(vals, tok)[ep[lo:hi]],
+            plan.mask,
+            vals.shape[-1],
+        )
 
     def fwd(vals, dst, plan):
         return iscat(vals, dst, plan), (dst,)

@@ -79,7 +79,12 @@ def measure_config(
         x = jnp.asarray(
             rng.standard_normal((n_nodes, n_features)).astype(np.float32)
         )
-        fn = jax.jit(lambda x: ops.segment_spmm(g, x, backend="pallas"))
+        import functools
+
+        # graph passed as a jit argument (not a closure constant)
+        fn = functools.partial(
+            jax.jit(lambda gg, x: ops.segment_spmm(gg, x, backend="pallas")), g
+        )
         out = fn(x)
         if check:
             expect = ref.gather_weight_scatter_ref(

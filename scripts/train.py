@@ -75,8 +75,8 @@ def main() -> None:
                layers=args.num_layers, backend=args.backend)
     if args.time_only:
         params = model.init(jax.random.PRNGKey(0), x, graph)
-        fn = jax.jit(lambda p, xx: model.apply(p, xx, graph))
-        t = timeit(fn, params, x, warmup=10, iters=args.iters)
+        fn = jax.jit(lambda p, xx, g: model.apply(p, xx, g))
+        t = timeit(fn, params, x, graph, warmup=10, iters=args.iters)
         row["fwd_ms"] = round(t * 1e3, 4)
         print(row)
     else:
