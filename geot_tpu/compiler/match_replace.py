@@ -22,10 +22,9 @@ untouched.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
-import jax.numpy as jnp
 from jax import core
 
 try:  # jax >= 0.6 moved jaxpr types

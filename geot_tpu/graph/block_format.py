@@ -16,7 +16,7 @@ community-structured graphs. `block_stats` reports it.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

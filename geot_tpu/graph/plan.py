@@ -31,7 +31,6 @@ rules (`csrc/cuda/wrapper/index_scatter_rule.h`).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax
@@ -116,12 +115,20 @@ class SegmentPlan:
         return flat * m.astype(flat.dtype)
 
 
+# hard cap on tiles per chunk: the kernel's scalar-prefetched out_block
+# (int32 per tile) must fit in SMEM (~64KB); 8192 tiles = 32KB leaves room
+MAX_PREFETCH_TILES = 8192
+
+
 def compute_chunks(
     out_block: np.ndarray, max_tiles_per_chunk: int
 ) -> tuple:
     """Window-aligned chunk boundaries: greedy tile ranges of at most
     `max_tiles_per_chunk`, cut at the last window start within the limit
     (a window's tiles never straddle chunks, so chunk outputs are disjoint)."""
+    max_tiles_per_chunk = min(
+        max(max_tiles_per_chunk, 1), MAX_PREFETCH_TILES
+    )
     T = len(out_block)
     if max_tiles_per_chunk <= 0 or T <= max_tiles_per_chunk:
         return ()
@@ -137,9 +144,11 @@ def compute_chunks(
             # last window start <= limit
             k = np.searchsorted(first, limit, side="right") - 1
             t1 = int(first[k])
-            if t1 <= t0:  # single window larger than the chunk limit
-                k2 = np.searchsorted(first, t0, side="right")
-                t1 = int(first[k2]) if k2 < len(first) else T
+            if t1 <= t0:
+                # a single window (hub destination) larger than the chunk
+                # limit: cut MID-WINDOW — consecutive chunks then share the
+                # boundary window and the executor add-combines the overlap
+                t1 = limit
         w0, w1 = int(out_block[t0]), int(out_block[t1 - 1]) + 1
         chunks.append((int(t0), int(t1), w0, w1))
         t0 = t1

@@ -25,7 +25,6 @@ import numpy as np
 
 from geot_tpu.graph.plan import (
     SegmentPlan,
-    build_segment_plan,
     build_segment_plan_host,
     plan_from_host,
 )

@@ -35,7 +35,6 @@ import jax
 import jax.numpy as jnp
 
 from geot_tpu.graph.plan import SegmentPlan
-from geot_tpu.graph.preprocess import csr_to_coo
 from geot_tpu.graph.structures import Graph
 from geot_tpu.ops import reference as ref
 from geot_tpu.ops.pallas_segment import (
@@ -154,7 +153,24 @@ def _plan_sum_gather(plan: SegmentPlan, gather_fn, w_slots: jax.Array, n: int):
         token = outs[-2] if len(outs) >= 2 else None
         vals = gather_fn(c[0] * plan.e_tile, c[1] * plan.e_tile, token)
         outs.append(_plan_sum_one(cp, vals, w_slots[c[0] : c[1]], mode))
-    return jnp.concatenate(outs, axis=0)[: plan.num_segments]
+    # stitch chunk outputs: consecutive chunks that split a hub window
+    # mid-window share that boundary window — add-combine the overlap
+    s = plan.s_tile
+    pieces = []
+    prev_w1 = None
+    for (t0, t1, w0, w1), o in zip(plan.chunks, outs):
+        if prev_w1 is not None and w0 < prev_w1:
+            assert w0 == prev_w1 - 1, "chunks may only overlap one window"
+            last = pieces.pop()
+            ov = min(s, o.shape[0], last.shape[0])
+            last = last.at[-ov:].add(o[:ov])
+            pieces.append(last)
+            if o.shape[0] > ov:
+                pieces.append(o[ov:])
+        else:
+            pieces.append(o)
+        prev_w1 = w1
+    return jnp.concatenate(pieces, axis=0)[: plan.num_segments]
 
 
 def _gated(x: jax.Array, token) -> jax.Array:

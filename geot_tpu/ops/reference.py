@@ -11,8 +11,6 @@ max/min/prod reductions). Everything is jit-compatible with static
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -13,16 +13,15 @@ globally-sharded loss.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from geot_tpu.parallel.halo_spmm import block_nodes, halo_spmm, node_sharding
-from geot_tpu.parallel.partition import PartitionedGraph, partition_graph
+from geot_tpu.parallel.partition import PartitionedGraph
 
 __all__ = ["init_gcn_params", "gcn_forward", "make_dist_train_step", "shard_inputs"]
 

@@ -20,15 +20,12 @@ are XLA collectives inside `shard_map`; no other communication exists.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from geot_tpu.graph.plan import SegmentPlan
-from geot_tpu.ops import reference as ref
 from geot_tpu.ops.pallas_segment import plan_segment_sum_sr
 from geot_tpu.parallel.partition import PartitionedGraph
 

@@ -21,8 +21,6 @@ Partition invariants (P parts, nodes padded to P*nodes_per_part):
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -304,3 +304,35 @@ def test_chunked_streaming_matches_unchunked():
     a = ops.index_scatter(vals, jnp.asarray(dst_sorted), n, plan=g.plan, backend="pallas")
     b = ops.index_scatter(vals, jnp.asarray(dst_sorted), n, plan=g2.plan, backend="pallas")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_chunked_hub_window_overlap_add():
+    """A hub destination whose window exceeds the chunk limit is split
+    mid-window; overlapping chunk outputs must add-combine exactly."""
+    import dataclasses
+    import numpy as np
+    import jax.numpy as jnp
+    from geot_tpu.graph.plan import compute_chunks
+    from geot_tpu.graph.structures import build_graph
+    from geot_tpu.ops import api as ops
+    from geot_tpu.ops import reference as ref
+
+    rng = np.random.default_rng(61)
+    n, F = 100, 24
+    # hub: node 3 receives 1500 edges; others sparse
+    dst = np.concatenate([
+        np.full(1500, 3, np.int32),
+        rng.integers(0, n, 400).astype(np.int32),
+    ])
+    src = rng.integers(0, n, len(dst)).astype(np.int32)
+    w = rng.standard_normal(len(dst)).astype(np.float32)
+    g = build_graph(src, dst, n, edge_weight=w, e_tile=32, s_tile=32)
+    ch = compute_chunks(np.asarray(g.plan.out_block), 8)  # hub window ≈ 47 tiles
+    assert any(w1 - w0 == 1 and (t1 - t0) <= 8 for t0, t1, w0, w1 in ch)
+    # consecutive chunks sharing a window exist
+    assert any(b[2] < a[3] for a, b in zip(ch[:-1], ch[1:]))
+    g2 = dataclasses.replace(g, plan=dataclasses.replace(g.plan, chunks=ch))
+    x = jnp.asarray(rng.standard_normal((n, F)).astype(np.float32))
+    out = ops.segment_spmm(g2, x, backend="pallas")
+    expect = ref.gather_weight_scatter_ref(g.src, g.dst, g.edge_weight, jnp.asarray(x), n)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect), rtol=1e-4, atol=1e-4)

@@ -68,3 +68,30 @@ def test_plan_rejects_unsorted():
 def test_plan_rejects_out_of_range():
     with pytest.raises(ValueError):
         build_segment_plan(np.array([0, 5]), None, 4)
+
+
+def test_compute_chunks_properties():
+    """Chunks are window-aligned, consecutive, cover all tiles, and respect
+    the SMEM prefetch cap."""
+    import numpy as np
+
+    from geot_tpu.graph.plan import MAX_PREFETCH_TILES, compute_chunks
+
+    rng = np.random.default_rng(0)
+    # irregular window sizes incl. one giant window
+    sizes = list(rng.integers(1, 40, 50)) + [9000] + list(rng.integers(1, 40, 20))
+    ob = np.repeat(np.arange(len(sizes)), sizes).astype(np.int32)
+    ch = compute_chunks(ob, 10**9)
+    assert ch, "should chunk when tiles exceed the prefetch cap"
+    assert ch[0][0] == 0 and ch[-1][1] == len(ob)
+    for (a0, a1, aw0, aw1), (b0, b1, bw0, bw1) in zip(ch[:-1], ch[1:]):
+        assert a1 == b0 and bw0 in (aw1, aw1 - 1)
+    for t0, t1, w0, w1 in ch:
+        assert ob[t0] == w0 and ob[t1 - 1] == w1 - 1
+        # every chunk respects the SMEM prefetch cap (giant windows are
+        # split mid-window and add-combined by the executor)
+        assert t1 - t0 <= MAX_PREFETCH_TILES
+    # overlap only ever shares one window between consecutive chunks
+    for a, b in zip(ch[:-1], ch[1:]):
+        assert a[1] == b[0]
+        assert b[2] in (a[3], a[3] - 1)
