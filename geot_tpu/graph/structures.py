@@ -55,7 +55,12 @@ class Graph:
     perm_t: jax.Array
     w_slots: Optional[jax.Array]
     w_slots_t: Optional[jax.Array]
-    num_nodes: int = dataclasses.field(metadata=dict(static=True))
+    # transpose-plan slot -> position in the CALLER'S (dst-sorted) edge
+    # order, precomposed host-side (perm_t[plan_t.edge_pos]) so dynamic
+    # per-call edge weights reach the backward without two runtime
+    # permutations
+    edge_pos_t: Optional[jax.Array] = None
+    num_nodes: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def num_edges(self) -> int:
@@ -135,6 +140,9 @@ def build_graph(
         # slot weights from the host arrays (no device round-trip)
         w_slots = jnp.asarray(_slot_weights_host(arrs, edge_weight))
         w_slots_t = jnp.asarray(_slot_weights_host(arrs_t, edge_weight[perm_t]))
+    ep_t = perm_t.astype(np.int64)[arrs_t["edge_pos"].reshape(-1)].reshape(
+        arrs_t["edge_pos"].shape
+    ) if len(src) else arrs_t["edge_pos"]
     plan = plan_from_host(arrs, meta)
     plan_t = plan_from_host(arrs_t, meta_t)
     return Graph(
@@ -146,5 +154,6 @@ def build_graph(
         perm_t=jnp.asarray(perm_t.astype(np.int32)),
         w_slots=w_slots,
         w_slots_t=w_slots_t,
+        edge_pos_t=jnp.asarray(np.asarray(ep_t, np.int32)),
         num_nodes=int(num_nodes),
     )

@@ -188,10 +188,19 @@ def _plan_sum(plan: SegmentPlan, vals_slots: jax.Array, w_slots: jax.Array):
     )
 
 
-def _w_slots(plan: SegmentPlan, w_edge: Optional[jax.Array]) -> jax.Array:
+def _w_slots(
+    plan: SegmentPlan,
+    w_edge: Optional[jax.Array],
+    idx: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Per-call edge weights -> slot order. `idx` overrides the slot->edge
+    map (the precomposed transpose indices in backward, which saves the
+    second permutation). A widened row-gather was tried and measured slower
+    in context (broadcast materialization outweighs gather efficiency)."""
     if w_edge is None:
         return plan.mask
-    return plan.mask * w_edge[plan.edge_pos.reshape(-1)].reshape(plan.mask.shape)
+    gather_idx = (plan.edge_pos if idx is None else idx).reshape(-1)
+    return plan.mask * w_edge[gather_idx].reshape(plan.mask.shape)
 
 
 def _slot_spmm(plan: SegmentPlan, x: jax.Array, w_slots: jax.Array, use_pallas):
@@ -239,7 +248,7 @@ def _make_gws_static(use_pallas: bool):
     return gws
 
 
-def _spmm_fwd(plan, x, w_edge, src, dst, use_pallas):
+def _spmm_fwd(plan, x, w_edge, src, dst, use_pallas, w_idx=None):
     """sum_e w_e * x[src_e] grouped by dst_e."""
     if not use_pallas:
         if w_edge is None:
@@ -249,7 +258,7 @@ def _spmm_fwd(plan, x, w_edge, src, dst, use_pallas):
     return _plan_sum_gather(
         plan,
         lambda lo, hi, tok: _gated(x, tok)[srcs[lo:hi]],
-        _w_slots(plan, w_edge),
+        _w_slots(plan, w_edge, w_idx),
         x.shape[1],
     )
 
@@ -335,12 +344,12 @@ def _make_gws(use_pallas: bool):
         )
 
     def bwd(res, g):
-        x, w, src, dst, plan_t, perm_t = res
+        x, w, src, dst, plan_t, edge_pos_t = res
         # (reference backward: geot/gather_weight_scatter.py:36-49, but with
-        # the precomputed CSC permutation instead of a per-call sort)
+        # the precomputed CSC permutation instead of a per-call sort; the
+        # slot->dst-sorted-edge map is precomposed so weights permute once)
         if use_pallas:
-            # plan_t.edge_pos indexes src-sorted edge order → permute weights
-            dx = _spmm_fwd(plan_t, g, w[perm_t], dst, src, True)
+            dx = _spmm_fwd(plan_t, g, w, dst, src, True, w_idx=edge_pos_t)
         else:
             dx = ref.gather_weight_scatter_ref(
                 dst, src, w, g, plan_t.num_segments
@@ -497,7 +506,8 @@ def gather_weight_scatter(
     Reference: `geot/gather_weight_scatter.py:4-51`."""
     if graph is not None and _use_pallas(backend) and reduce in ("sum", "mean"):
         out = _make_gws(True)(
-            src, weight, graph.src, graph.dst, graph.plan, graph.plan_t, graph.perm_t
+            src, weight, graph.src, graph.dst, graph.plan, graph.plan_t,
+            graph.edge_pos_t,
         )
         return _apply_reduce_post(out, graph.plan, reduce, backend)
     return ref.gather_weight_scatter_ref(
@@ -535,7 +545,8 @@ def segment_spmm(
     else:
         if use_p:
             out = _make_gws(True)(
-                x, w, graph.src, graph.dst, graph.plan, graph.plan_t, graph.perm_t
+                x, w, graph.src, graph.dst, graph.plan, graph.plan_t,
+                graph.edge_pos_t,
             )
         else:
             out = ref.gather_weight_scatter_ref(
