@@ -90,6 +90,10 @@ class SegmentPlan:
     # = single chunk. Bounds the [chunk_slots, F] gather materialization so
     # reddit2/products-scale graphs fit in HBM.
     chunks: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+    # with uniform chunks: every chunk spans exactly this many output
+    # windows (outputs padded; stitching slices the real rows). 0 = chunks
+    # are ragged (legacy) or absent.
+    chunk_blocks: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def num_tiles(self) -> int:
@@ -153,6 +157,52 @@ def compute_chunks(
         chunks.append((int(t0), int(t1), w0, w1))
         t0 = t1
     return tuple(chunks) if len(chunks) > 1 else ()
+
+
+def _uniformize_chunks(arrays: dict, meta: dict) -> None:
+    """Pad every chunk to identical (tile count, window count) so all chunk
+    kernels share ONE compiled executable — with ragged chunks a
+    products-scale program compiles ~70 distinct Mosaic kernels (an hour
+    over a dev tunnel); uniform chunks compile one.
+
+    Rewrites `arrays` in place to [n_chunks*T_max, E] with masked padding
+    tiles covering the extra windows, and sets meta['chunks'] (REAL window
+    ranges, for stitching) and meta['chunk_blocks'] = W_max."""
+    chunks = meta["chunks"]
+    if not chunks:
+        return
+    e_tile = meta["e_tile"]
+    s_tile = meta["s_tile"]
+    T_max = max(t1 - t0 for t0, t1, _, _ in chunks)
+    W_max = max(w1 - w0 for _, _, w0, w1 in chunks)
+    n_c = len(chunks)
+    ob = arrays["out_block"]
+    new = {
+        k: np.zeros((n_c * T_max,) + v.shape[1:], v.dtype)
+        for k, v in arrays.items()
+    }
+    new_chunks = []
+    for i, (t0, t1, w0, w1) in enumerate(chunks):
+        nt = t1 - t0
+        base = i * T_max
+        for k, v in arrays.items():
+            new[k][base : base + nt] = v[t0:t1]
+        # padding tiles: cover windows [w1, w0+W_max) once each (so every
+        # output block of the padded range is initialized), then repeat the
+        # final window; all slots masked out
+        pad_windows = list(range(w1, w0 + W_max))
+        pad_ob = pad_windows + [w0 + W_max - 1] * (T_max - nt - len(pad_windows))
+        pad_ob = pad_ob[: T_max - nt]
+        if len(pad_ob) < T_max - nt:  # more pad tiles than new windows
+            pad_ob = pad_ob + [w0 + W_max - 1] * (T_max - nt - len(pad_ob))
+        new["out_block"][base + nt : base + T_max] = np.asarray(pad_ob, ob.dtype)
+        new["dst_slots"][base + nt : base + T_max] = (
+            np.asarray(pad_ob, np.int64)[:, None] * s_tile
+        ).astype(new["dst_slots"].dtype)
+        new_chunks.append((base, base + T_max, int(w0), int(w1)))
+    arrays.update(new)
+    meta["chunks"] = tuple(new_chunks)
+    meta["chunk_blocks"] = int(W_max)
 
 
 def plan_tile_bounds(num_edges: int, num_segments: int, e_tile: int, s_tile: int) -> int:
@@ -232,11 +282,10 @@ def build_segment_plan_host(
     if nat is not None:
         src_sl, dst_sl, ep, mk, ob = nat
         meta["chunks"] = compute_chunks(ob, max_chunk_slots // e_tile)
-        return (
-            dict(src_slots=src_sl, dst_slots=dst_sl, edge_pos=ep, mask=mk,
-                 out_block=ob),
-            meta,
-        )
+        arrays = dict(src_slots=src_sl, dst_slots=dst_sl, edge_pos=ep,
+                      mask=mk, out_block=ob)
+        _uniformize_chunks(arrays, meta)
+        return arrays, meta
 
     block_of_edge = dst // s_tile if nnz else np.zeros(0, dtype=np.int64)
     cnt = np.bincount(block_of_edge, minlength=n_blocks).astype(np.int64)
@@ -269,16 +318,15 @@ def build_segment_plan_host(
         mask.reshape(-1)[slot] = 1.0
 
     meta["chunks"] = compute_chunks(out_block, max_chunk_slots // e_tile)
-    return (
-        dict(
-            src_slots=src_slots.astype(np.int32),
-            dst_slots=dst_slots.astype(np.int32),
-            edge_pos=edge_pos.astype(np.int32),
-            mask=mask.astype(np.float32),
-            out_block=out_block.astype(np.int32),
-        ),
-        meta,
+    arrays = dict(
+        src_slots=src_slots.astype(np.int32),
+        dst_slots=dst_slots.astype(np.int32),
+        edge_pos=edge_pos.astype(np.int32),
+        mask=mask.astype(np.float32),
+        out_block=out_block.astype(np.int32),
     )
+    _uniformize_chunks(arrays, meta)
+    return arrays, meta
 
 
 def plan_from_host(arrays: dict, meta: dict) -> SegmentPlan:

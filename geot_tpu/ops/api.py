@@ -98,9 +98,13 @@ import dataclasses as _dc
 
 
 def _chunk_plan(plan: SegmentPlan, c) -> SegmentPlan:
-    """Slice a window-aligned chunk out of a plan (output rows shift to 0)."""
+    """Slice a chunk out of a plan (output rows shift to 0). With uniform
+    chunks the kernel output spans `chunk_blocks` padded windows — every
+    chunk then has identical shapes (ONE compiled kernel) and
+    `num_segments` trims back to the chunk's real rows."""
     t0, t1, w0, w1 = c
     s = plan.s_tile
+    nb = plan.chunk_blocks or (w1 - w0)
     return _dc.replace(
         plan,
         src_slots=plan.src_slots[t0:t1],
@@ -108,9 +112,10 @@ def _chunk_plan(plan: SegmentPlan, c) -> SegmentPlan:
         edge_pos=plan.edge_pos[t0:t1],
         mask=plan.mask[t0:t1],
         out_block=plan.out_block[t0:t1] - w0,
-        n_blocks=w1 - w0,
+        n_blocks=nb,
         num_segments=min(max(plan.num_segments - w0 * s, 0), (w1 - w0) * s),
         chunks=(),
+        chunk_blocks=0,
     )
 
 

@@ -336,3 +336,41 @@ def test_chunked_hub_window_overlap_add():
     out = ops.segment_spmm(g2, x, backend="pallas")
     expect = ref.gather_weight_scatter_ref(g.src, g.dst, g.edge_weight, jnp.asarray(x), n)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect), rtol=1e-4, atol=1e-4)
+
+
+def test_dynamic_weight_grad_uses_precomposed_transpose():
+    """gather_weight_scatter with per-call weights: dx/dw through the
+    Pallas path (backward permutes weights once via Graph.edge_pos_t) must
+    match dense-oracle gradients."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from geot_tpu.graph.structures import build_graph
+    from geot_tpu.ops import api as ops
+
+    rng = np.random.default_rng(70)
+    n, e, F = 80, 450, 24
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = rng.integers(0, n, e).astype(np.int32)
+    g = build_graph(src, dst, n, e_tile=64, s_tile=64)
+    x = jnp.asarray(rng.standard_normal((n, F)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal(e).astype(np.float32))
+    co = jnp.asarray(rng.standard_normal((n, F)).astype(np.float32))
+
+    def f(xx, ww):
+        return jnp.vdot(
+            ops.gather_weight_scatter(
+                g.src, g.dst, ww, xx, n, graph=g, backend="pallas"
+            ),
+            co,
+        )
+
+    gx, gw = jax.grad(f, argnums=(0, 1))(x, w)
+    # dense oracle; grads w.r.t. the SORTED edge order the graph uses
+    src_s, dst_s = np.asarray(g.src), np.asarray(g.dst)
+    gx_ref = np.zeros((n, F))
+    for k in range(e):
+        gx_ref[src_s[k]] += float(np.asarray(w)[k]) * np.asarray(co)[dst_s[k]]
+    gw_ref = np.sum(np.asarray(co)[dst_s] * np.asarray(x)[src_s], axis=1)
+    np.testing.assert_allclose(np.asarray(gx), gx_ref, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw), gw_ref, rtol=1e-3, atol=1e-3)
