@@ -39,6 +39,7 @@ from geot_tpu.graph.structures import Graph
 from geot_tpu.ops import reference as ref
 from geot_tpu.ops.pallas_segment import (
     plan_segment_sum_sr,
+    plan_segment_sum_sr_packed,
     plan_segment_sum_pr,
     plan_segment_sum_mh,
 )
@@ -63,15 +64,16 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_mode(n_features: int, plan: SegmentPlan) -> str:
-    """SR puts features on lanes — at N < 128 the lane padding multiplies
-    gather+kernel traffic by 128/N, so narrow features take the PR layout
-    (edges on lanes, features on sublanes; reference splits the same way at
-    feature_size<8, `csrc/cuda/wrapper/index_scatter_rule.h`). The plan's
-    `mode_hint` (from the tuning table / sweep) overrides when legal."""
+    """SR puts features on lanes; PR puts edges on lanes (reference splits
+    the same way at feature_size<8, `csrc/cuda/wrapper/index_scatter_rule.h`).
+    PR requires a [N, T*E] global transpose of the gathered values, which
+    fence-verified timing showed costs far more than SR's lane padding
+    saves (arxiv N=32: PR 55ms vs SR ~15ms vs XLA 12.6ms) — so auto mode
+    is SR-only and PR runs only via an explicit tuning `mode_hint` from a
+    fence-timed sweep. A packed-SR layout (p=128/N edges per lane row, p
+    one-hot matmuls) is the planned replacement for narrow N."""
     pr_legal = plan.s_tile % 128 == 0 and n_features <= 128
-    if plan.mode_hint in ("sr", "pr"):
-        return plan.mode_hint if (plan.mode_hint == "sr" or pr_legal) else "sr"
-    if n_features <= 64 and pr_legal:
+    if plan.mode_hint == "pr" and pr_legal:
         return "pr"
     return "sr"
 
@@ -119,6 +121,15 @@ def _chunk_plan(plan: SegmentPlan, c) -> SegmentPlan:
     )
 
 
+def _packed_width(n: int) -> int:
+    """Smallest divisor of 128 that fits n (packed-SR lane width), or 0 if
+    n needs the full-width SR path."""
+    for d in (8, 16, 32, 64):
+        if n <= d:
+            return d
+    return 0
+
+
 def _plan_sum_one(plan: SegmentPlan, vals_slots: jax.Array, w_slots: jax.Array, mode):
     n = vals_slots.shape[1]
     if mode == "pr":
@@ -128,6 +139,15 @@ def _plan_sum_one(plan: SegmentPlan, vals_slots: jax.Array, w_slots: jax.Array, 
             v_t = jnp.pad(v_t, ((0, n_pad - n), (0, 0)))
         out_t = plan_segment_sum_pr(plan, v_t, w_slots)
         return out_t[:n, : plan.num_segments].T
+    # narrow features: packed-SR (p = 128//n edges per lane row) avoids the
+    # 128-lane padding that multiplies traffic by 128/n
+    nw = _packed_width(n)
+    if 0 < nw < 128 and plan.e_tile % (128 // nw) == 0:
+        v = vals_slots
+        if nw != n:
+            v = jnp.pad(v, ((0, 0), (0, nw - n)))
+        out = plan_segment_sum_sr_packed(plan, v, w_slots)
+        return out[: plan.num_segments, :n]
     f_tile = _pick_f_tile(n)
     f_pad = _round_up(max(n, 1), f_tile)
     v = vals_slots
@@ -403,6 +423,14 @@ def _make_iscat(use_pallas: bool):
         if not use_pallas:
             return ref.segment_reduce_ref(vals, dst, plan.num_segments, "sum")
         ep = plan.edge_pos.reshape(-1)
+        # KNOWN PERF GAP (narrow N): the slot gather below reads [nnz, N]
+        # rows; XLA's row gather collapses at <512-byte rows from large
+        # tables (arxiv N=32: 61ms for the gather alone vs 8.5ms at 128
+        # lanes), and pad-then-gather workarounds get re-fused into the
+        # narrow gather. The fix is an aligned-tile plan (tiles = e_tile
+        # CONSECUTIVE edges so slot values are a pure reshape, 2-window
+        # output blocks combined with a shifted add) — staged for the next
+        # round; see RESULTS.md.
         # padding slots carry edge 0's value but weight 0 via plan.mask
         return _plan_sum_gather(
             plan,

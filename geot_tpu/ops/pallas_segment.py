@@ -40,6 +40,7 @@ from geot_tpu.graph.plan import SegmentPlan
 
 __all__ = [
     "plan_segment_sum_sr",
+    "plan_segment_sum_sr_packed",
     "plan_segment_sum_pr",
     "plan_segment_sum_mh",
     "default_interpret",
@@ -179,6 +180,105 @@ def _mh_kernel(
     @pl.when(last)
     def _():
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _sr_packed_kernel(
+    ob_ref, dst_ref, w_ref, v_ref, o_ref, acc_ref, *, s_tile, pack, n_feat
+):
+    """SR layout for narrow features WITHOUT lane padding: `pack` = 128 //
+    n_feat edges share each 128-lane row (edge r*pack+k occupies lanes
+    [k*n, (k+1)*n) of row r — a free reshape of the [T*E, n] value matrix).
+    The tile reduces with `pack` one-hot matmuls, one per sub-position.
+    Replaces the PR layout, whose [N, T*E] global transpose measured far
+    more expensive than it saves (see `_pick_mode`)."""
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+    cur = ob_ref[t]
+    first = jnp.logical_or(t == 0, ob_ref[jnp.maximum(t - 1, 0)] != cur)
+    last = jnp.logical_or(t == n_t - 1, ob_ref[jnp.minimum(t + 1, n_t - 1)] != cur)
+
+    rows = v_ref.shape[0]  # e_tile // pack
+    # dst/w arrive k-major (sub-position k occupies [k*rows, (k+1)*rows) —
+    # reordered at trace level; Mosaic cannot reshape 1-D vectors in-kernel)
+    local = dst_ref[0, 0, :] - cur * s_tile  # [e_tile]
+    w_all = w_ref[0, 0, :]
+    v = v_ref[:]  # [rows, pack * n_feat]
+    part = jnp.zeros((s_tile, n_feat), jnp.float32)
+    seg_ids = jax.lax.broadcasted_iota(jnp.int32, (s_tile, rows), 0)
+    for k in range(pack):
+        lk = local[k * rows : (k + 1) * rows]
+        wk = w_all[k * rows : (k + 1) * rows]
+        onehot = (seg_ids == lk[None, :]).astype(jnp.float32)
+        vk = v[:, k * n_feat : (k + 1) * n_feat] * wk[:, None].astype(v.dtype)
+        part = part + _onehot_dot(onehot, vk)
+
+    @pl.when(first)
+    def _():
+        acc_ref[:] = part
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        acc_ref[:] = acc_ref[:] + part
+
+    @pl.when(last)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def plan_segment_sum_sr_packed(
+    plan: SegmentPlan,
+    vals_slots: jax.Array,  # [T*e_tile, n_feat] slot-ordered, n_feat | 128
+    w_slots: jax.Array,  # [T, e_tile]
+    *,
+    out_dtype=None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Packed-SR tiled segment sum for narrow features (n_feat divides 128
+    and e_tile divisible by 128//n_feat). Returns [n_blocks*s_tile, n_feat].
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    T, e_tile, s_tile = plan.num_tiles, plan.e_tile, plan.s_tile
+    n_feat = vals_slots.shape[1]
+    pack = 128 // n_feat
+    assert 128 % n_feat == 0 and e_tile % pack == 0, (n_feat, e_tile)
+    rows = e_tile // pack
+    out_dtype = out_dtype or vals_slots.dtype
+    v_packed = vals_slots.reshape(T * rows, 128)
+    # k-major lane order for dst/w (see kernel comment)
+    dst_km = (
+        plan.dst_slots.reshape(T, rows, pack)
+        .transpose(0, 2, 1)
+        .reshape(T, 1, e_tile)
+    )
+    w_km = (
+        w_slots.reshape(T, rows, pack).transpose(0, 2, 1).reshape(T, 1, e_tile)
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 1, e_tile), lambda t, ob: (t, 0, 0)),
+            pl.BlockSpec((1, 1, e_tile), lambda t, ob: (t, 0, 0)),
+            pl.BlockSpec((rows, 128), lambda t, ob: (t, 0)),
+        ],
+        out_specs=pl.BlockSpec((s_tile, n_feat), lambda t, ob: (ob[t], 0)),
+        scratch_shapes=[pltpu.VMEM((s_tile, n_feat), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _sr_packed_kernel, s_tile=s_tile, pack=pack, n_feat=n_feat
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((plan.n_blocks * s_tile, n_feat), out_dtype),
+        interpret=interpret,
+    )(
+        plan.out_block,
+        dst_km,
+        w_km,
+        v_packed,
+    )
 
 
 def _round_up(x: int, m: int) -> int:
