@@ -94,6 +94,19 @@ class SegmentPlan:
     # windows (outputs padded; stitching slices the real rows). 0 = chunks
     # are ragged (legacy) or absent.
     chunk_blocks: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # aligned-edge-block (AEB) loader support: e0[t] = edge index of slot 0
+    # of tile t, so slot j holds edge e0[t]+j (pads/leads masked). Lets the
+    # kernel read per-edge values/weights directly from EDGE order via two
+    # adjacent aligned blocks + an in-kernel roll — no slot gather, no
+    # runtime nnz permutation (the reference reads edge order natively,
+    # `csrc/cuda/gather_weight_scatter_kernel.cuh:20-185`).
+    e0: Optional[jax.Array] = None
+    # number of e_tile-sized blocks a value/weight array must be padded to
+    # for the AEB loader ((max(e0)//e_tile)+2)
+    n_value_blocks: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # window starts are aligned to this many edges (packed layouts need
+    # 128//n_feat | pack_align so row-rolls stay integral)
+    pack_align: int = dataclasses.field(default=1, metadata=dict(static=True))
 
     @property
     def num_tiles(self) -> int:
@@ -199,6 +212,10 @@ def _uniformize_chunks(arrays: dict, meta: dict) -> None:
         new["dst_slots"][base + nt : base + T_max] = (
             np.asarray(pad_ob, np.int64)[:, None] * s_tile
         ).astype(new["dst_slots"].dtype)
+        if "e0" in arrays and nt > 0:
+            # pad tiles inherit the last real tile's e0 so chunk-local
+            # rebasing (e0 - chunk_base) stays non-negative and in-bounds
+            new["e0"][base + nt : base + T_max] = arrays["e0"][t1 - 1]
         new_chunks.append((base, base + T_max, int(w0), int(w1)))
     arrays.update(new)
     meta["chunks"] = tuple(new_chunks)
@@ -225,6 +242,7 @@ def build_segment_plan_host(
     num_src_nodes: Optional[int] = None,
     mode_hint: str = "auto",
     max_chunk_slots: int = 4 << 20,
+    pack_align: int = 16,
 ):
     """Like `build_segment_plan` but returns (host_arrays: dict of numpy,
     static_meta: dict) without touching the device — callers that derive
@@ -260,16 +278,10 @@ def build_segment_plan_host(
         )
 
     n_blocks = max(_cdiv(max(num_segments, 1), s_tile), 1)
+    pack_align = max(int(pack_align), 1)
+    while e_tile % pack_align:
+        pack_align //= 2
 
-    # native (C++, multithreaded) slot-array construction when available —
-    # the numpy path below is the reference implementation and fallback
-    # (equality is tested in tests/test_native.py)
-    from geot_tpu import native as _native
-
-    nat = _native.build_plan_arrays(
-        dst.astype(np.int32), None if src is None else src_arr,
-        num_segments, e_tile, s_tile,
-    )
     meta = dict(
         e_tile=int(e_tile),
         s_tile=int(s_tile),
@@ -278,29 +290,59 @@ def build_segment_plan_host(
         num_edges=nnz,
         num_src_nodes=n_src,
         mode_hint=mode_hint,
+        pack_align=int(max(pack_align, 1)),
     )
+
+    # native (C++, multithreaded) slot-array construction when available —
+    # the numpy path below is the reference implementation and fallback
+    # (equality is tested in tests/test_native.py). The native builder
+    # implements pack_align==1 layout only.
+    nat = None
+    if max(pack_align, 1) == 1:
+        from geot_tpu import native as _native
+
+        nat = _native.build_plan_arrays(
+            dst.astype(np.int32), None if src is None else src_arr,
+            num_segments, e_tile, s_tile,
+        )
     if nat is not None:
         src_sl, dst_sl, ep, mk, ob = nat
+        # AEB invariant (pack_align==1): slot j of tile t holds edge
+        # e0[t]+j; all tiles of a window are full except the last, so e0 is
+        # the exclusive cumsum of per-tile real-edge counts.
+        n_real = mk.sum(axis=1).astype(np.int64)
+        e0 = np.concatenate([[0], np.cumsum(n_real)[:-1]]).astype(np.int32)
+        meta["n_value_blocks"] = int(e0.max() if len(e0) else 0) // e_tile + 2
         meta["chunks"] = compute_chunks(ob, max_chunk_slots // e_tile)
         arrays = dict(src_slots=src_sl, dst_slots=dst_sl, edge_pos=ep,
-                      mask=mk, out_block=ob)
+                      mask=mk, out_block=ob, e0=e0)
         _uniformize_chunks(arrays, meta)
         return arrays, meta
 
+    pack = max(int(pack_align), 1)
     block_of_edge = dst // s_tile if nnz else np.zeros(0, dtype=np.int64)
     cnt = np.bincount(block_of_edge, minlength=n_blocks).astype(np.int64)
+    edge_start_of_block = np.zeros(n_blocks + 1, dtype=np.int64)
+    np.cumsum(cnt, out=edge_start_of_block[1:])
+    # pack alignment: window w's slot space starts at the pack-aligned edge
+    # index below its first edge; the first `lead` slots are padding so that
+    # e0 (edge of slot 0) is always a multiple of pack — packed layouts
+    # (128//n_feat edges per lane row) can then roll whole rows.
+    lead = (edge_start_of_block[:-1] % pack).astype(np.int64)
     # >=1 tile per window: empty windows still get a coverage (all-pad) tile
     # so the Pallas kernel initializes every output block.
-    tiles_per_block = np.maximum(_cdiv(cnt, e_tile), 1)
+    tiles_per_block = np.maximum(_cdiv(cnt + lead, e_tile), 1)
     tile_start = np.zeros(n_blocks + 1, dtype=np.int64)
     np.cumsum(tiles_per_block, out=tile_start[1:])
     num_tiles = int(tile_start[-1])
 
-    edge_start_of_block = np.zeros(n_blocks + 1, dtype=np.int64)
-    np.cumsum(cnt, out=edge_start_of_block[1:])
-
     out_block = np.repeat(np.arange(n_blocks, dtype=np.int32), tiles_per_block)
     seg_base = out_block.astype(np.int64) * s_tile
+
+    # e0 per tile: aligned window start + tile offset within the window
+    ks = np.arange(num_tiles, dtype=np.int64) - tile_start[out_block]
+    aligned_start = edge_start_of_block[:-1] - lead
+    e0 = (aligned_start[out_block] + ks * e_tile).astype(np.int32)
 
     # default (padding) slot contents
     dst_slots = np.repeat(seg_base, e_tile).reshape(num_tiles, e_tile)
@@ -309,7 +351,11 @@ def build_segment_plan_host(
     mask = np.zeros((num_tiles, e_tile), dtype=np.float32)
 
     if nnz:
-        p = np.arange(nnz, dtype=np.int64) - edge_start_of_block[block_of_edge]
+        p = (
+            np.arange(nnz, dtype=np.int64)
+            - edge_start_of_block[block_of_edge]
+            + lead[block_of_edge]
+        )
         slot = (tile_start[block_of_edge] + p // e_tile) * e_tile + p % e_tile
         dst_flat = dst_slots.reshape(-1)
         dst_flat[slot] = dst
@@ -317,6 +363,7 @@ def build_segment_plan_host(
         edge_pos.reshape(-1)[slot] = np.arange(nnz, dtype=np.int32)
         mask.reshape(-1)[slot] = 1.0
 
+    meta["n_value_blocks"] = int(e0.max() if len(e0) else 0) // e_tile + 2
     meta["chunks"] = compute_chunks(out_block, max_chunk_slots // e_tile)
     arrays = dict(
         src_slots=src_slots.astype(np.int32),
@@ -324,6 +371,7 @@ def build_segment_plan_host(
         edge_pos=edge_pos.astype(np.int32),
         mask=mask.astype(np.float32),
         out_block=out_block.astype(np.int32),
+        e0=e0,
     )
     _uniformize_chunks(arrays, meta)
     return arrays, meta
@@ -336,6 +384,7 @@ def plan_from_host(arrays: dict, meta: dict) -> SegmentPlan:
         edge_pos=jnp.asarray(arrays["edge_pos"]),
         mask=jnp.asarray(arrays["mask"]),
         out_block=jnp.asarray(arrays["out_block"]),
+        e0=jnp.asarray(arrays["e0"]) if "e0" in arrays else None,
         **meta,
     )
 

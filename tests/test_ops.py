@@ -338,6 +338,85 @@ def test_chunked_hub_window_overlap_add():
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("n_feat", [16, 48, 128])
+def test_dynamic_weight_chunked_aeb(n_feat):
+    """Per-call-weight SpMM through the AEB rolled-weight kernels, chunked
+    and unchunked, vs the XLA reference (incl. a hub window split)."""
+    import dataclasses
+    from geot_tpu.graph.plan import compute_chunks
+    from geot_tpu.ops import api as ops
+    from geot_tpu.ops import reference as ref
+
+    rng = np.random.default_rng(77)
+    n = 200
+    dst = np.concatenate([
+        np.full(700, 5, np.int32),  # hub
+        rng.integers(0, n, 900).astype(np.int32),
+    ])
+    src = rng.integers(0, n, len(dst)).astype(np.int32)
+    g = build_graph(src, dst, n, e_tile=64, s_tile=64)
+    w = jnp.asarray(rng.standard_normal(len(dst)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((n, n_feat)).astype(np.float32))
+    expect = ref.gather_weight_scatter_ref(g.src, g.dst, w, x, n)
+
+    out = geot_tpu.gather_weight_scatter(
+        g.src, g.dst, w, x, n, graph=g, backend="pallas"
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=2e-4, atol=2e-4)
+
+    ch = compute_chunks(np.asarray(g.plan.out_block), 5)
+    assert len(ch) > 2
+    g2 = dataclasses.replace(g, plan=dataclasses.replace(g.plan, chunks=ch))
+    out_c = geot_tpu.gather_weight_scatter(
+        g2.src, g2.dst, w, x, n, graph=g2, backend="pallas"
+    )
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(expect),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("n_feat", [4, 32, 100])
+def test_index_scatter_aeb_uniform_chunks(n_feat):
+    """index_scatter through the AEB loader on a plan with uniformized
+    chunks (pad tiles, rebased e0) vs reference."""
+    from geot_tpu.graph.plan import build_segment_plan
+    from geot_tpu.ops import api as ops
+
+    rng = np.random.default_rng(78)
+    nnz, n_seg = 3000, 400
+    idx = np.sort(rng.integers(0, n_seg, nnz)).astype(np.int32)
+    vals = jnp.asarray(rng.standard_normal((nnz, n_feat)).astype(np.float32))
+    # force uniformized chunks through the builder's max_chunk_slots
+    plan = build_segment_plan(
+        idx, None, n_seg, e_tile=64, s_tile=64, max_chunk_slots=512
+    )
+    assert plan.chunks and plan.chunk_blocks > 0
+    out = ops.index_scatter(
+        vals, jnp.asarray(idx), n_seg, plan=plan, backend="pallas"
+    )
+    expect = ops.index_scatter(vals, jnp.asarray(idx), n_seg, backend="reference")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_index_scatter_aeb_nondivisible_nnz():
+    """nnz not divisible by e_tile: the AEB loader pads the tail block."""
+    from geot_tpu.graph.plan import build_segment_plan
+    from geot_tpu.ops import api as ops
+
+    rng = np.random.default_rng(79)
+    nnz, n_seg = 777, 100
+    idx = np.sort(rng.integers(0, n_seg, nnz)).astype(np.int32)
+    vals = jnp.asarray(rng.standard_normal((nnz, 24)).astype(np.float32))
+    plan = build_segment_plan(idx, None, n_seg, e_tile=128, s_tile=128)
+    out = ops.index_scatter(
+        vals, jnp.asarray(idx), n_seg, plan=plan, backend="pallas"
+    )
+    expect = ops.index_scatter(vals, jnp.asarray(idx), n_seg, backend="reference")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_dynamic_weight_grad_uses_precomposed_transpose():
     """gather_weight_scatter with per-call weights: dx/dw through the
     Pallas path (backward permutes weights once via Graph.edge_pos_t) must

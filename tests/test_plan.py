@@ -59,6 +59,16 @@ def test_plan_invariants(nnz, n_seg, e_tile, s_tile):
     assert set(out_block.tolist()) == set(range(n_blocks))
     assert n_blocks * s_tile >= n_seg
 
+    # AEB invariants: slot j of tile t holds edge e0[t]+j, e0 is
+    # pack-aligned and non-decreasing with steps <= e_tile
+    e0 = np.asarray(plan.e0)
+    assert np.all(e0 % plan.pack_align == 0)
+    assert np.all(np.diff(e0) >= 0)
+    assert np.all(np.diff(e0) <= e_tile)
+    slot_j = np.tile(np.arange(e_tile), T)
+    edge_of_slot = np.repeat(e0, e_tile) + slot_j
+    np.testing.assert_array_equal(edge_of_slot[real], pos)
+
 
 def test_plan_rejects_unsorted():
     with pytest.raises(ValueError):
