@@ -86,6 +86,13 @@ class _Rewriter:
         n_out = operand_v.aval.shape[0]
         if n_out != self.graph.num_nodes:
             return None
+        # the scatter's base operand: the fused op replaces the whole
+        # scatter, so the base must be added back (user code like
+        # `x.at[dst].add(x[src])` has a non-zero base; for the common
+        # zeros-broadcast base XLA folds the add away)
+        base = env(operand_v)
+        if base is None:
+            return None
         # destination indices: [nnz] (via reshape to [nnz, 1])
         idx_root = self._origin(indices_v, env)
         dst = env(idx_root)
@@ -157,7 +164,10 @@ class _Rewriter:
         else:
             return None
         self.matches += 1
-        return out.astype(eqn.outvars[0].aval.dtype)
+        out = out.astype(eqn.outvars[0].aval.dtype) + base.astype(
+            eqn.outvars[0].aval.dtype
+        )
+        return out
 
     def _gather_parts(self, var, env):
         """If `var` is (a shape-op of) gather(x, idx) with 1-D row indices,

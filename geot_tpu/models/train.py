@@ -9,8 +9,8 @@ train step, full-graph evaluation, and orbax-free pytree checkpointing.
 
 from __future__ import annotations
 
+import json
 import os
-import pickle
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
@@ -129,22 +129,75 @@ def train_node_classifier(
     return final, metrics
 
 
+def _path_to_json(path) -> list:
+    """Key path → JSON-serializable access chain (dict keys / seq indices)."""
+    out = []
+    for k in path:
+        if hasattr(k, "key"):  # DictKey
+            out.append(["d", k.key])
+        elif hasattr(k, "idx"):  # SequenceKey
+            out.append(["s", int(k.idx)])
+        elif hasattr(k, "name"):  # GetAttrKey (flax dataclasses etc.)
+            out.append(["a", k.name])
+        else:
+            raise TypeError(f"unsupported pytree key {k!r} for checkpointing")
+    return out
+
+
 def save_checkpoint(path: str, params, metadata: Optional[dict] = None) -> None:
-    """Pickle-free pytree checkpoint: leaves as .npy inside an .npz plus a
-    treedef pickle (params only — no code objects)."""
-    leaves, treedef = jax.tree_util.tree_flatten(params)
+    """Pickle-free pytree checkpoint: leaves as arrays inside an .npz plus a
+    JSON manifest of key paths and JSON metadata — loading never unpickles,
+    so untrusted checkpoints cannot execute code. Supported containers:
+    dicts, lists, tuples (tuples load back as lists)."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    manifest = [_path_to_json(p) for p, _ in flat]
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.savez(
         path,
-        *[np.asarray(l) for l in leaves],
-        __treedef__=np.frombuffer(pickle.dumps(treedef), dtype=np.uint8),
-        __meta__=np.frombuffer(pickle.dumps(metadata or {}), dtype=np.uint8),
+        **{f"leaf_{i}": np.asarray(l) for i, (_, l) in enumerate(flat)},
+        __paths__=np.frombuffer(
+            json.dumps(manifest).encode(), dtype=np.uint8
+        ),
+        __meta__=np.frombuffer(
+            json.dumps(metadata or {}).encode(), dtype=np.uint8
+        ),
     )
 
 
 def load_checkpoint(path: str):
+    """Structural (pickle-free) load: rebuilds nested dicts/lists from the
+    JSON key-path manifest."""
     d = np.load(path if path.endswith(".npz") else path + ".npz", allow_pickle=False)
-    treedef = pickle.loads(d["__treedef__"].tobytes())
-    meta = pickle.loads(d["__meta__"].tobytes())
-    leaves = [d[k] for k in d.files if not k.startswith("__")]
-    return jax.tree_util.tree_unflatten(treedef, [jnp.asarray(l) for l in leaves]), meta
+    manifest = json.loads(d["__paths__"].tobytes().decode())
+    meta = json.loads(d["__meta__"].tobytes().decode())
+    root: Optional[object] = None
+
+    def ensure(container, step, nxt_step):
+        kind, key = step
+        make = (lambda: {}) if nxt_step is None or nxt_step[0] in ("d", "a") else (lambda: [])
+        if kind in ("d", "a"):
+            if key not in container:
+                container[key] = make() if nxt_step is not None else None
+            return container, key
+        while len(container) <= key:
+            container.append(None)
+        if nxt_step is not None and container[key] is None:
+            container[key] = make()
+        return container, key
+
+    for i, steps in enumerate(manifest):
+        leaf = jnp.asarray(d[f"leaf_{i}"])
+        if not steps:
+            root = leaf
+            continue
+        if root is None:
+            root = {} if steps[0][0] in ("d", "a") else []
+        node = root
+        for j, step in enumerate(steps):
+            nxt = steps[j + 1] if j + 1 < len(steps) else None
+            node, key = ensure(node, step, nxt)
+            if nxt is None:
+                node[key] = leaf
+            else:
+                node = node[key]
+    return root, meta

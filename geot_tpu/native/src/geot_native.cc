@@ -63,9 +63,14 @@ int geot_sort_by_key(const int32_t* key, int64_t nnz, int32_t num_keys,
                      int32_t* perm_out) {
   if (nnz < 0 || num_keys <= 0) return -1;
   std::vector<int64_t> count(static_cast<int64_t>(num_keys) + 1, 0);
-  // parallel histogram with per-thread counts
+  // parallel histogram with per-thread counts; a separate atomic flags
+  // out-of-range keys (an empty local[t] is NOT an error sentinel — thread
+  // slots past the last spawned thread legitimately stay empty when
+  // nnz < nt * chunk)
   int nt = std::min<int64_t>(hw_threads(), std::max<int64_t>(nnz, 1));
   std::vector<std::vector<int64_t>> local(nt);
+  for (int t = 0; t < nt; ++t) local[t].assign(static_cast<int64_t>(num_keys), 0);
+  std::atomic<int> bad_key{0};
   {
     std::vector<std::thread> ts;
     int64_t chunk = cdiv(nnz, nt);
@@ -74,23 +79,18 @@ int geot_sort_by_key(const int32_t* key, int64_t nnz, int32_t num_keys,
       if (lo >= hi) break;
       ts.emplace_back([&, t, lo, hi] {
         auto& c = local[t];
-        c.assign(static_cast<int64_t>(num_keys), 0);
         for (int64_t i = lo; i < hi; ++i) {
           int32_t k = key[i];
-          if (k < 0 || k >= num_keys) c.resize(0);  // flag error below
-          else c[k]++;
+          if (k < 0 || k >= num_keys) { bad_key.store(1); return; }
+          c[k]++;
         }
       });
     }
     for (auto& th : ts) th.join();
   }
-  for (int t = 0; t < nt; ++t) {
-    if (!local[t].empty() || nnz == 0) continue;
-    return -2;  // out-of-range key
-  }
+  if (bad_key.load()) return -2;  // out-of-range key
   for (int t = 0; t < nt; ++t)
-    for (int64_t k = 0; k < num_keys; ++k)
-      if (!local[t].empty()) count[k + 1] += local[t][k];
+    for (int64_t k = 0; k < num_keys; ++k) count[k + 1] += local[t][k];
   for (int64_t k = 0; k < num_keys; ++k) count[k + 1] += count[k];
   // parallel stable fill: thread t's starting cursor for key k is the global
   // prefix plus all lower-threads' counts of k, so threads fill their own
@@ -104,11 +104,9 @@ int geot_sort_by_key(const int32_t* key, int64_t nnz, int32_t num_keys,
       cursor[t].assign(static_cast<int64_t>(num_keys), 0);
       for (int64_t k = 0; k < num_keys; ++k) {
         int64_t base = count[k];
-        for (int tp = 0; tp < t; ++tp)
-          if (!local[tp].empty()) base += local[tp][k];
+        for (int tp = 0; tp < t; ++tp) base += local[tp][k];
         cursor[t][k] = base;
       }
-      if (t == 0) continue;
     }
     for (int t = 0; t < nt; ++t) {
       int64_t lo = t * chunk, hi = std::min<int64_t>(nnz, lo + chunk);

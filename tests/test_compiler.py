@@ -40,6 +40,24 @@ def test_rewrites_weighted_scatter():
     )
 
 
+def test_nonzero_scatter_base_preserved():
+    """`x.at[dst].add(x[src])` (residual/self-connection idiom): the fused
+    op must add the scatter's base operand back, not drop it."""
+    g, rng = _graph(7)
+    n = g.num_nodes
+    x = jnp.asarray(rng.standard_normal((n, 16), dtype=np.float32))
+    src, dst = g.src, g.dst
+
+    def user_fn(x):
+        return x.at[dst].add(x[src])
+
+    assert count_matches(user_fn, g, x) == 1
+    out = pattern_transform(user_fn, g, backend="pallas")(x)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(user_fn(x)), rtol=1e-4, atol=1e-4
+    )
+
+
 def test_rewrites_unweighted_segment_sum():
     g, rng = _graph(1)
     n = g.num_nodes
