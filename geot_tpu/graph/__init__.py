@@ -1,4 +1,10 @@
-from geot_tpu.graph.plan import SegmentPlan, build_segment_plan, plan_tile_bounds
+from geot_tpu.graph.plan import (
+    BatPlan,
+    SegmentPlan,
+    build_bat_plan,
+    build_segment_plan,
+    plan_tile_bounds,
+)
 from geot_tpu.graph.preprocess import (
     coo_to_csr,
     csr_to_coo,
@@ -18,6 +24,8 @@ from geot_tpu.graph.datasets import (
 )
 
 __all__ = [
+    "BatPlan",
+    "build_bat_plan",
     "SegmentPlan",
     "build_segment_plan",
     "plan_tile_bounds",

@@ -107,6 +107,13 @@ class SegmentPlan:
     # window starts are aligned to this many edges (packed layouts need
     # 128//n_feat | pack_align so row-rolls stay integral)
     pack_align: int = dataclasses.field(default=1, metadata=dict(static=True))
+    # k-major copies of dst_slots/mask for the packed kernels (sub-position
+    # k of packed row r at lane k*rows+r), precomputed host-side for
+    # km_pack = 128//packed_width(feature_hint); trace-time fallback
+    # otherwise. Shape [T, 1, e_tile].
+    dst_km: Optional[jax.Array] = None
+    mask_km: Optional[jax.Array] = None
+    km_pack: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def num_tiles(self) -> int:
@@ -377,7 +384,24 @@ def build_segment_plan_host(
     return arrays, meta
 
 
-def plan_from_host(arrays: dict, meta: dict) -> SegmentPlan:
+def _k_major_host(arr: np.ndarray, pack: int) -> np.ndarray:
+    """[T, E] slot array → k-major [T, 1, E] (lane k*rows+r holds slot
+    r*pack+k) for the packed kernels."""
+    T, E = arr.shape
+    rows = E // pack
+    return np.ascontiguousarray(
+        arr.reshape(T, rows, pack).transpose(0, 2, 1).reshape(T, 1, E)
+    )
+
+
+def plan_from_host(arrays: dict, meta: dict, km_pack: int = 0) -> SegmentPlan:
+    km = {}
+    if km_pack > 1 and meta["e_tile"] % km_pack == 0:
+        km = dict(
+            dst_km=jnp.asarray(_k_major_host(arrays["dst_slots"], km_pack)),
+            mask_km=jnp.asarray(_k_major_host(arrays["mask"], km_pack)),
+            km_pack=int(km_pack),
+        )
     return SegmentPlan(
         src_slots=jnp.asarray(arrays["src_slots"]),
         dst_slots=jnp.asarray(arrays["dst_slots"]),
@@ -385,17 +409,195 @@ def plan_from_host(arrays: dict, meta: dict) -> SegmentPlan:
         mask=jnp.asarray(arrays["mask"]),
         out_block=jnp.asarray(arrays["out_block"]),
         e0=jnp.asarray(arrays["e0"]) if "e0" in arrays else None,
+        **km,
         **meta,
     )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BatPlan:
+    """Block-aligned-tile execution plan (v3 kernels).
+
+    A tile is an (output window, value block) incidence: the kernel loads
+    value block ``vblock[t]`` (e_tile consecutive EDGES of the caller's
+    dst-sorted arrays — a raw aligned block, no gather, no roll) and reduces
+    it into window ``out_block[t]``. Edges of the block belonging to other
+    windows produce window-local ids outside [0, s_tile) and match no
+    one-hot row, so they drop out with no masking; tiles are ordered by
+    window so the accumulate/flush-once logic is unchanged. Per-edge data
+    (dst ids, weights) is likewise read as raw blocks — per-call edge
+    weights cost nothing beyond streaming them.
+
+    dst3: [n_vblocks, 1, e_tile] int32 — dst ids, -1 padded (host-built).
+    dst_km/mask_km: optional k-major per-tile arrays for the packed kernel
+      (km_pack = pack; mask_km is 1.0 on real in-window edges).
+    chunks: as SegmentPlan ((t0, t1, w0, w1) ranges over tiles/windows).
+    """
+
+    out_block: jax.Array  # [T] int32, non-decreasing
+    vblock: jax.Array  # [T] int32
+    dst3: jax.Array
+    dst_km: Optional[jax.Array]
+    mask_km: Optional[jax.Array]
+    e_tile: int = dataclasses.field(metadata=dict(static=True))
+    s_tile: int = dataclasses.field(metadata=dict(static=True))
+    num_segments: int = dataclasses.field(metadata=dict(static=True))
+    n_blocks: int = dataclasses.field(metadata=dict(static=True))
+    num_edges: int = dataclasses.field(metadata=dict(static=True))
+    n_vblocks: int = dataclasses.field(metadata=dict(static=True))
+    km_pack: int = dataclasses.field(default=0, metadata=dict(static=True))
+    chunks: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+    chunk_blocks: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+    @property
+    def num_tiles(self) -> int:
+        return self.out_block.shape[0]
+
+    @property
+    def padded_segments(self) -> int:
+        return self.n_blocks * self.s_tile
+
+
+def build_bat_plan_host(
+    dst: np.ndarray,
+    num_segments: int,
+    *,
+    e_tile: int = 512,
+    s_tile: int = 256,
+    km_pack: int = 0,
+    max_chunk_tiles: int = MAX_PREFETCH_TILES,
+):
+    """Host arrays + meta for a BatPlan over a dst-sorted edge list."""
+    dst = np.asarray(dst, np.int64)
+    nnz = int(dst.shape[0])
+    if nnz > 1 and not bool(np.all(dst[1:] >= dst[:-1])):
+        raise ValueError("dst must be sorted ascending; use sort_edges_by_dst first")
+    if nnz and int(dst[-1]) >= num_segments:
+        raise ValueError(
+            f"dst contains id {int(dst[-1])} >= num_segments={num_segments}"
+        )
+    n_blocks = max(_cdiv(max(num_segments, 1), s_tile), 1)
+    n_vblocks = max(_cdiv(nnz, e_tile), 1)
+
+    win = dst // s_tile
+    blk = np.arange(nnz, dtype=np.int64) // e_tile
+    key = win * n_vblocks + blk  # lexicographic (win, blk); non-decreasing
+    uniq = np.unique(key)
+    ob = (uniq // n_vblocks).astype(np.int32)
+    vb = (uniq % n_vblocks).astype(np.int32)
+    # coverage tiles for empty windows (kernel must init every out block)
+    missing = np.setdiff1d(
+        np.arange(n_blocks, dtype=np.int32), ob, assume_unique=False
+    )
+    if len(missing):
+        ob = np.concatenate([ob, missing])
+        vb = np.concatenate([vb, np.zeros(len(missing), np.int32)])
+        order = np.argsort(ob, kind="stable")
+        ob, vb = ob[order], vb[order]
+        # coverage tiles inherit the running block so vblock stays
+        # non-decreasing (consecutive equal indices skip the DMA re-fetch)
+        vb = np.maximum.accumulate(vb).astype(np.int32)
+
+    # one extra all--1 dst block at index n_vblocks: the sentinel target for
+    # pad tiles (chunk uniformization) — matches nothing, adds nothing
+    dst_pad = np.full((n_vblocks + 1) * e_tile, -1, np.int32)
+    dst_pad[:nnz] = dst
+    dst3 = dst_pad.reshape(n_vblocks + 1, 1, e_tile)
+
+    arrays = dict(out_block=ob, vblock=vb, dst3=dst3)
+    if km_pack > 1 and e_tile % km_pack == 0:
+        # packed kernel: k-major dst per VALUE BLOCK (indexed by vblock[t]
+        # in the BlockSpec — no per-tile duplication); the -1 sentinel
+        # drops phantom edges via the same no-match property
+        arrays["dst_km"] = _k_major_host(
+            dst_pad.reshape(n_vblocks + 1, e_tile), km_pack
+        ).astype(np.int32)
+    meta = dict(
+        e_tile=int(e_tile),
+        s_tile=int(s_tile),
+        num_segments=int(num_segments),
+        n_blocks=int(n_blocks),
+        num_edges=nnz,
+        n_vblocks=int(n_vblocks),
+        km_pack=int(km_pack if km_pack > 1 and e_tile % km_pack == 0 else 0),
+        chunks=compute_chunks(ob, max_chunk_tiles),
+        chunk_blocks=0,
+    )
+    _uniformize_bat_chunks(arrays, meta)
+    return arrays, meta
+
+
+def _uniformize_bat_chunks(arrays: dict, meta: dict) -> None:
+    """Pad every chunk to identical (tiles, windows) so chunk kernels share
+    one compiled executable (cf. `_uniformize_chunks`). Pad tiles cover the
+    extra windows once each (coverage) with the chunk's last value block."""
+    chunks = meta["chunks"]
+    if not chunks:
+        return
+    ob, vb = arrays["out_block"], arrays["vblock"]
+    T_max = max(t1 - t0 for t0, t1, _, _ in chunks)
+    W_max = max(w1 - w0 for _, _, w0, w1 in chunks)
+    n_c = len(chunks)
+    new_ob = np.zeros(n_c * T_max, ob.dtype)
+    new_vb = np.zeros(n_c * T_max, vb.dtype)
+    new_chunks = []
+    for i, (t0, t1, w0, w1) in enumerate(chunks):
+        nt = t1 - t0
+        base = i * T_max
+        new_ob[base : base + nt] = ob[t0:t1]
+        new_vb[base : base + nt] = vb[t0:t1]
+        pad_windows = list(range(w1, w0 + W_max))
+        pad_ob = (pad_windows + [w0 + W_max - 1] * T_max)[: T_max - nt]
+        new_ob[base + nt : base + T_max] = np.asarray(pad_ob, ob.dtype)
+        # pad tiles target the sentinel (-1) dst block so they can never
+        # re-add a real block's edges to a real window
+        new_vb[base + nt : base + T_max] = meta["n_vblocks"]
+        new_chunks.append((base, base + T_max, int(w0), int(w1)))
+    arrays["out_block"], arrays["vblock"] = new_ob, new_vb
+    meta["chunks"] = tuple(new_chunks)
+    meta["chunk_blocks"] = int(W_max)
+
+
+def bat_plan_from_host(arrays: dict, meta: dict) -> BatPlan:
+    return BatPlan(
+        out_block=jnp.asarray(arrays["out_block"]),
+        vblock=jnp.asarray(arrays["vblock"]),
+        dst3=jnp.asarray(arrays["dst3"]),
+        dst_km=jnp.asarray(arrays["dst_km"]) if "dst_km" in arrays else None,
+        mask_km=None,
+        **meta,
+    )
+
+
+def build_bat_plan(dst, num_segments: int, **kwargs) -> BatPlan:
+    arrays, meta = build_bat_plan_host(dst, num_segments, **kwargs)
+    return bat_plan_from_host(arrays, meta)
+
+
+def packed_width(n: int) -> int:
+    """Smallest divisor of 128 that fits n (packed lane width), or 0 if n
+    needs the full-width SR path."""
+    for d in (8, 16, 32, 64):
+        if n <= d:
+            return d
+    return 0
 
 
 def build_segment_plan(
     dst: np.ndarray,
     src: Optional[np.ndarray] = None,
     num_segments: int = 0,
+    feature_hint: int = 0,
     **kwargs,
 ) -> SegmentPlan:
     """Build a SegmentPlan from a dst-sorted COO edge list (host-side).
-    See `build_segment_plan_host` for the argument docs."""
+    `feature_hint` (expected feature width) precomputes the packed-kernel
+    k-major arrays for narrow features. See `build_segment_plan_host` for
+    the other arguments."""
     arrays, meta = build_segment_plan_host(dst, src, num_segments, **kwargs)
-    return plan_from_host(arrays, meta)
+    km_pack = 0
+    nw = packed_width(feature_hint) if feature_hint else 0
+    if nw:
+        km_pack = 128 // nw
+    return plan_from_host(arrays, meta, km_pack=km_pack)

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from geot_tpu.graph.plan import (
+    BatPlan,
     SegmentPlan,
     build_segment_plan_host,
     plan_from_host,
@@ -60,6 +61,14 @@ class Graph:
     # per-call edge weights reach the backward without two runtime
     # permutations
     edge_pos_t: Optional[jax.Array] = None
+    # v3 block-aligned-tile plans (fast path for sum-reduce SpMM /
+    # index_scatter): forward over dst-sorted edges, transpose over
+    # src-sorted edges; dst_t = dst[perm_t] (the transpose gather index),
+    # edge_weight_t = edge_weight[perm_t] (static weights, transpose order)
+    bat: Optional["BatPlan"] = None
+    bat_t: Optional["BatPlan"] = None
+    dst_t: Optional[jax.Array] = None
+    edge_weight_t: Optional[jax.Array] = None
     num_nodes: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
@@ -143,8 +152,17 @@ def build_graph(
     ep_t = perm_t.astype(np.int64)[arrs_t["edge_pos"].reshape(-1)].reshape(
         arrs_t["edge_pos"].shape
     ) if len(src) else arrs_t["edge_pos"]
-    plan = plan_from_host(arrs, meta)
-    plan_t = plan_from_host(arrs_t, meta_t)
+    from geot_tpu.graph.plan import build_bat_plan, packed_width
+
+    nw = packed_width(feature_hint) if feature_hint else 0
+    km_pack = (128 // nw) if nw else 0
+    plan = plan_from_host(arrs, meta, km_pack=km_pack)
+    plan_t = plan_from_host(arrs_t, meta_t, km_pack=km_pack)
+    src_t = src[perm_t]
+    bat = build_bat_plan(dst, num_nodes, e_tile=e_tile, s_tile=s_tile,
+                         km_pack=km_pack)
+    bat_t = build_bat_plan(src_t, num_nodes, e_tile=e_tile, s_tile=s_tile,
+                           km_pack=km_pack)
     return Graph(
         src=jnp.asarray(src),
         dst=jnp.asarray(dst),
@@ -155,5 +173,11 @@ def build_graph(
         w_slots=w_slots,
         w_slots_t=w_slots_t,
         edge_pos_t=jnp.asarray(np.asarray(ep_t, np.int32)),
+        bat=bat,
+        bat_t=bat_t,
+        dst_t=jnp.asarray(dst[perm_t]),
+        edge_weight_t=(
+            None if edge_weight is None else jnp.asarray(edge_weight[perm_t])
+        ),
         num_nodes=int(num_nodes),
     )

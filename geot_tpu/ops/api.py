@@ -34,7 +34,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from geot_tpu.graph.plan import SegmentPlan
+from geot_tpu.graph.plan import BatPlan, SegmentPlan
 from geot_tpu.graph.structures import Graph
 from geot_tpu.ops import reference as ref
 from geot_tpu.ops.pallas_segment import (
@@ -44,6 +44,8 @@ from geot_tpu.ops.pallas_segment import (
     plan_segment_sum_mh,
     plan_segment_sum_sr2,
     plan_segment_sum_packed2,
+    bat_segment_sum,
+    bat_segment_sum_packed,
 )
 
 __all__ = [
@@ -101,12 +103,26 @@ def _use_pallas(backend: str) -> bool:
 import dataclasses as _dc
 
 
-def _chunk_plan(plan: SegmentPlan, c) -> SegmentPlan:
+def _chunk_plan(plan, c):
     """Slice a chunk out of a plan (output rows shift to 0). With uniform
     chunks the kernel output spans `chunk_blocks` padded windows — every
     chunk then has identical shapes (ONE compiled kernel) and
     `num_segments` trims back to the chunk's real rows."""
     t0, t1, w0, w1 = c
+    if isinstance(plan, BatPlan):
+        s = plan.s_tile
+        nb = plan.chunk_blocks or (w1 - w0)
+        return _dc.replace(
+            plan,
+            out_block=plan.out_block[t0:t1] - w0,
+            vblock=plan.vblock[t0:t1],
+            n_blocks=nb,
+            num_segments=min(
+                max(plan.num_segments - w0 * s, 0), (w1 - w0) * s
+            ),
+            chunks=(),
+            chunk_blocks=0,
+        )
     s = plan.s_tile
     nb = plan.chunk_blocks or (w1 - w0)
     return _dc.replace(
@@ -117,6 +133,8 @@ def _chunk_plan(plan: SegmentPlan, c) -> SegmentPlan:
         mask=plan.mask[t0:t1],
         out_block=plan.out_block[t0:t1] - w0,
         e0=None if plan.e0 is None else plan.e0[t0:t1],
+        dst_km=None if plan.dst_km is None else plan.dst_km[t0:t1] - w0 * s,
+        mask_km=None if plan.mask_km is None else plan.mask_km[t0:t1],
         n_blocks=nb,
         num_segments=min(max(plan.num_segments - w0 * s, 0), (w1 - w0) * s),
         chunks=(),
@@ -168,12 +186,12 @@ def _plan_sum_chunked(plan: SegmentPlan, run_one):
     most two chunks live while gather and kernel overlap; without the gate
     XLA schedules every chunk's multi-GB gather concurrently."""
     if not plan.chunks:
-        return run_one(plan, 0, plan.num_tiles, None)
+        return run_one(plan, 0, plan.num_tiles, 0, None)
     outs = []
     for c in plan.chunks:
         cp = _chunk_plan(plan, c)
         token = outs[-2] if len(outs) >= 2 else None
-        outs.append(run_one(cp, c[0], c[1], token))
+        outs.append(run_one(cp, c[0], c[1], c[2], token))
     # stitch chunk outputs: consecutive chunks that split a hub window
     # mid-window share that boundary window — add-combine the overlap
     s = plan.s_tile
@@ -201,7 +219,7 @@ def _plan_sum_gather(plan: SegmentPlan, gather_fn, w_slots: jax.Array, n: int):
     built at graph-build time to bound that size)."""
     mode = _pick_mode(n, plan)
 
-    def run_one(cp, t0, t1, token):
+    def run_one(cp, t0, t1, w0, token):
         vals = gather_fn(t0 * plan.e_tile, t1 * plan.e_tile, token)
         return _plan_sum_one(cp, vals, w_slots[t0:t1], mode)
 
@@ -255,7 +273,7 @@ def _aeb_sum(
     E = plan.e_tile
     nw = _aeb_packed_ok(plan, n)
 
-    def run_one(cp, t0, t1, token):
+    def run_one(cp, t0, t1, w0, token):
         if t0 == 0 and t1 == plan.num_tiles:
             eA = None  # whole-plan call: global e0, full arrays
             size = plan.num_edges
@@ -289,6 +307,78 @@ def _aeb_sum(
         return out[: cpp.num_segments, :n]
 
     return _plan_sum_chunked(plan, run_one)
+
+
+def _bat_sum(
+    bp: BatPlan,
+    vals_fn,
+    n: int,
+    w_edge: Optional[jax.Array] = None,
+):
+    """Tiled segment sum over EDGE-ordered values via the block-aligned-tile
+    kernels (v3): single raw value block per tile, raw dst/weight rows, no
+    rolls. `vals_fn(vbase, size, token)` returns value rows for edges
+    [vbase*e_tile, vbase*e_tile + size) (vbase traced block index, or None
+    for the whole array)."""
+    E = bp.e_tile
+    nw = _packed_width(n)
+    packed = bool(nw) and nw < 128 and bp.km_pack == (128 // nw) and bp.dst_km is not None
+
+    def run_one(cp, t0, t1, w0, token):
+        if t0 == 0 and t1 == bp.num_tiles:
+            cpp, v, we = cp, vals_fn(None, bp.num_edges, token), w_edge
+        else:
+            vbase = cp.vblock[0]
+            nblk = t1 - t0 + 1
+            size = nblk * E
+            # rebase: pad (sentinel) tiles point past the real blocks at a
+            # forced -1 block; dst ids shift into the chunk's window-local
+            # range (-1 entries shift too but stay below any window base)
+            vb_rel = jnp.where(
+                cp.vblock >= bp.n_vblocks, nblk, cp.vblock - vbase
+            )
+            dst3 = jax.lax.dynamic_slice_in_dim(
+                jnp.pad(
+                    bp.dst3[: bp.n_vblocks],
+                    ((0, nblk + 1), (0, 0), (0, 0)),
+                    constant_values=-1,
+                ),
+                vbase, nblk + 1,
+            )
+            dst3 = dst3.at[nblk].set(-1) - w0 * bp.s_tile
+            dkm = None
+            if packed:
+                dkm = jax.lax.dynamic_slice_in_dim(
+                    jnp.pad(
+                        bp.dst_km[: bp.n_vblocks],
+                        ((0, nblk + 1),) + ((0, 0),) * (bp.dst_km.ndim - 1),
+                        constant_values=-1,
+                    ),
+                    vbase, nblk + 1,
+                )
+                dkm = dkm.at[nblk].set(-1) - w0 * bp.s_tile
+            cpp = _dc.replace(
+                cp, vblock=vb_rel, dst3=dst3, dst_km=dkm, n_vblocks=nblk,
+            )
+            v = vals_fn(vbase, size, token)
+            we = w_edge
+            if we is not None:
+                we = jax.lax.dynamic_slice_in_dim(
+                    jnp.pad(we, (0, size)), vbase * E, size
+                )
+        if packed:
+            if nw != n:
+                v = jnp.pad(v, ((0, 0), (0, nw - n)))
+            out = bat_segment_sum_packed(cpp, v, we)
+            return out[: cpp.num_segments, :n]
+        f_tile = _pick_f_tile(n)
+        f_pad = _round_up(max(n, 1), f_tile)
+        if f_pad != n:
+            v = jnp.pad(v, ((0, 0), (0, f_pad - n)))
+        out = bat_segment_sum(cpp, v, we, f_tile=f_tile)
+        return out[: cpp.num_segments, :n]
+
+    return _plan_sum_chunked(bp, run_one)
 
 
 def _w_slots(
@@ -368,7 +458,10 @@ def _spmm_fwd(plan, x, w_edge, src, dst, use_pallas, w_idx=None):
 
             def vals_fn(eA, size, token):
                 if eA is None:
-                    idx = src
+                    # index pad is cheap and makes the gathered rows an
+                    # e_tile multiple (no ragged-tail handling downstream)
+                    nnz = src.shape[0]
+                    idx = jnp.pad(src, (0, _round_up(nnz, plan.e_tile) - nnz))
                 else:
                     # pad by `size`: dynamic_slice clamps OOB starts
                     idx = jax.lax.dynamic_slice_in_dim(
@@ -382,7 +475,7 @@ def _spmm_fwd(plan, x, w_edge, src, dst, use_pallas, w_idx=None):
         f_tile = _pick_f_tile(n)
         f_pad = _round_up(max(n, 1), f_tile)
 
-        def run_one(cp, t0, t1, token):
+        def run_one(cp, t0, t1, w0, token):
             v = _gated(x, token)[srcs[t0 * plan.e_tile : t1 * plan.e_tile]]
             if f_pad != n:
                 v = jnp.pad(v, ((0, 0), (0, f_pad - n)))
@@ -399,6 +492,85 @@ def _spmm_fwd(plan, x, w_edge, src, dst, use_pallas, w_idx=None):
         _w_slots(plan, w_edge, w_idx),
         n,
     )
+
+
+def _spmm_fwd_bat(bp: BatPlan, x, src, w_edge, token_gate=True):
+    """sum_e w_e * x[src_e] by dst window, via the v3 BAT kernels: the
+    gather emits rows in raw EDGE order (no slot layout) and weights stream
+    as raw blocks (per-call weights cost nothing extra)."""
+    E = bp.e_tile
+
+    def vals_fn(vbase, size, token):
+        if vbase is None:
+            nnz = src.shape[0]
+            idx = jnp.pad(src, (0, _round_up(max(nnz, E), E) - nnz))
+        else:
+            idx = jax.lax.dynamic_slice_in_dim(
+                jnp.pad(src, (0, size)), vbase * E, size
+            )
+        return _gated(x, token)[idx]
+
+    return _bat_sum(bp, vals_fn, x.shape[1], w_edge=w_edge)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_gs_bat(use_pallas: bool):
+    """Unweighted fused SpMM over BAT plans; backward = transpose BAT."""
+
+    @jax.custom_vjp
+    def gs(x, src, dst, dst_t, bat, bat_t):
+        if not use_pallas:
+            return ref.gather_scatter_ref(src, dst, x, bat.num_segments)
+        return _spmm_fwd_bat(bat, x, src, None)
+
+    def fwd(x, src, dst, dst_t, bat, bat_t):
+        return gs(x, src, dst, dst_t, bat, bat_t), (src, dst, dst_t, bat_t)
+
+    def bwd(res, g):
+        src, dst, dst_t, bat_t = res
+        if use_pallas:
+            dx = _spmm_fwd_bat(bat_t, g, dst_t, None)
+        else:
+            dx = ref.gather_scatter_ref(dst, src, g, bat_t.num_segments)
+        return (dx, None, None, None, None, None)
+
+    gs.defvjp(fwd, bwd)
+    return gs
+
+
+@functools.lru_cache(maxsize=None)
+def _make_gws_bat(use_pallas: bool, static_w: bool):
+    """Weighted fused SpMM over BAT plans. static_w=True: weights are graph
+    constants with a precomputed transpose-order copy (no dw); False:
+    per-call weights, dw via SDDMM, transpose weights permuted at runtime
+    through `perm_t` (the reference re-sorts edges per backward instead,
+    `geot/gather_weight_scatter.py:41`)."""
+
+    @jax.custom_vjp
+    def gws(x, w, src, dst, dst_t, w_t_or_perm, bat, bat_t):
+        if not use_pallas:
+            return ref.gather_weight_scatter_ref(src, dst, w, x, bat.num_segments)
+        return _spmm_fwd_bat(bat, x, src, w)
+
+    def fwd(x, w, src, dst, dst_t, w_t_or_perm, bat, bat_t):
+        return gws(x, w, src, dst, dst_t, w_t_or_perm, bat, bat_t), (
+            x, w, src, dst, dst_t, w_t_or_perm, bat_t,
+        )
+
+    def bwd(res, g):
+        x, w, src, dst, dst_t, w_t_or_perm, bat_t = res
+        w_t = w_t_or_perm if static_w else w[w_t_or_perm]
+        if use_pallas:
+            dx = _spmm_fwd_bat(bat_t, g, dst_t, w_t)
+        else:
+            dx = ref.gather_weight_scatter_ref(dst, src, w, g, bat_t.num_segments)
+        if static_w:
+            return (dx, None, None, None, None, None, None, None)
+        dw = ref.sddmm_coo_ref(src, dst, g, x).astype(w.dtype)
+        return (dx, dw, None, None, None, None, None, None)
+
+    gws.defvjp(fwd, bwd)
+    return gws
 
 
 def _mh_fwd(plan, x, w_heads, src, dst, use_pallas):
@@ -426,9 +598,16 @@ def _mh_fwd(plan, x, w_heads, src, dst, use_pallas):
     return out[: plan.num_segments].reshape(plan.num_segments, H, D)
 
 
-def segment_counts(plan: SegmentPlan, backend: str = "auto") -> jax.Array:
+def segment_counts(plan, backend: str = "auto") -> jax.Array:
     """Edges per segment (degree), computed with the PR kernel — the basis
     for mean reduction."""
+    if isinstance(plan, BatPlan):
+        d = plan.dst3.reshape(-1)
+        return (
+            jnp.zeros(plan.num_segments, jnp.float32)
+            .at[d]
+            .add((d >= 0).astype(jnp.float32), mode="drop")
+        )
     if not _use_pallas(backend) or plan.s_tile % 128 != 0:
         return (
             jnp.zeros(plan.num_segments, jnp.float32)
@@ -535,6 +714,20 @@ def _make_iscat(use_pallas: bool):
     def iscat(vals, dst, plan):
         if not use_pallas:
             return ref.segment_reduce_ref(vals, dst, plan.num_segments, "sum")
+        if isinstance(plan, BatPlan):
+            # v3: raw block-aligned streaming of `vals` — no gather, no roll
+            E = plan.e_tile
+            if plan.chunks:
+                def vals_fn(vbase, size, token):
+                    if vbase is None:
+                        return vals
+                    vp = jnp.pad(vals, ((0, size), (0, 0)))
+                    return jax.lax.dynamic_slice_in_dim(
+                        _gated(vp, token), vbase * E, size
+                    )
+            else:
+                vals_fn = lambda vbase, size, token: vals
+            return _bat_sum(plan, vals_fn, vals.shape[-1])
         if plan.e0 is not None:
             # AEB path: the kernel streams `vals` directly in edge order
             # (two aligned blocks + in-kernel roll) — no slot gather at all.
@@ -645,9 +838,14 @@ def gather_scatter(
     the Pallas plan path with transpose-plan backward.
     """
     if graph is not None and _use_pallas(backend) and reduce in ("sum", "mean"):
-        out = _make_gs(True)(
-            src, graph.src, graph.dst, graph.plan, graph.plan_t, graph.perm_t
-        )
+        if graph.bat is not None:
+            out = _make_gs_bat(True)(
+                src, graph.src, graph.dst, graph.dst_t, graph.bat, graph.bat_t
+            )
+        else:
+            out = _make_gs(True)(
+                src, graph.src, graph.dst, graph.plan, graph.plan_t, graph.perm_t
+            )
         return _apply_reduce_post(out, graph.plan, reduce, backend)
     return ref.gather_scatter_ref(src_index, dst_index, src, num_segments, reduce)
 
@@ -666,10 +864,16 @@ def gather_weight_scatter(
     """Edge-weighted fused SpMM: out[dst[e]] ⊕= weight[e] * src[src[e]].
     Reference: `geot/gather_weight_scatter.py:4-51`."""
     if graph is not None and _use_pallas(backend) and reduce in ("sum", "mean"):
-        out = _make_gws(True)(
-            src, weight, graph.src, graph.dst, graph.plan, graph.plan_t,
-            graph.edge_pos_t,
-        )
+        if graph.bat is not None:
+            out = _make_gws_bat(True, False)(
+                src, weight, graph.src, graph.dst, graph.dst_t,
+                graph.perm_t, graph.bat, graph.bat_t,
+            )
+        else:
+            out = _make_gws(True)(
+                src, weight, graph.src, graph.dst, graph.plan, graph.plan_t,
+                graph.edge_pos_t,
+            )
         return _apply_reduce_post(out, graph.plan, reduce, backend)
     return ref.gather_weight_scatter_ref(
         src_index, dst_index, weight, src, num_segments, reduce
@@ -689,13 +893,30 @@ def segment_spmm(
     `models/conv/spmm.py:5-14`)."""
     w = edge_weight if edge_weight is not None else graph.edge_weight
     use_p = _use_pallas(backend) and reduce in ("sum", "mean")
-    if reduce in ("sum", "mean") and edge_weight is None and graph.w_slots is not None:
+    use_bat = use_p and graph.bat is not None
+    if (
+        reduce in ("sum", "mean")
+        and edge_weight is None
+        and graph.edge_weight is not None
+        and use_bat
+    ):
+        # static weights: edge order IS the kernel's input order under BAT,
+        # with a precomputed transpose-order copy for backward
+        out = _make_gws_bat(True, True)(
+            x, graph.edge_weight, graph.src, graph.dst, graph.dst_t,
+            graph.edge_weight_t, graph.bat, graph.bat_t,
+        )
+    elif reduce in ("sum", "mean") and edge_weight is None and graph.w_slots is not None:
         # static-weight fast path: slot weights cached at graph build
         out = _make_gws_static(use_p)(
             x, graph.plan, graph.plan_t, graph.w_slots, graph.w_slots_t
         )
     elif w is None:
-        if use_p:
+        if use_bat:
+            out = _make_gs_bat(True)(
+                x, graph.src, graph.dst, graph.dst_t, graph.bat, graph.bat_t
+            )
+        elif use_p:
             out = _make_gs(True)(
                 x, graph.src, graph.dst, graph.plan, graph.plan_t, graph.perm_t
             )
@@ -704,7 +925,12 @@ def segment_spmm(
                 graph.src, graph.dst, x, graph.num_nodes, "sum"
             )
     else:
-        if use_p:
+        if use_bat:
+            out = _make_gws_bat(True, False)(
+                x, w, graph.src, graph.dst, graph.dst_t, graph.perm_t,
+                graph.bat, graph.bat_t,
+            )
+        elif use_p:
             out = _make_gws(True)(
                 x, w, graph.src, graph.dst, graph.plan, graph.plan_t,
                 graph.edge_pos_t,

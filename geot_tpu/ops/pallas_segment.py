@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from geot_tpu.graph.plan import SegmentPlan
+from geot_tpu.graph.plan import BatPlan, SegmentPlan
 
 __all__ = [
     "plan_segment_sum_sr",
@@ -45,6 +45,8 @@ __all__ = [
     "plan_segment_sum_mh",
     "plan_segment_sum_sr2",
     "plan_segment_sum_packed2",
+    "bat_segment_sum",
+    "bat_segment_sum_packed",
     "default_interpret",
 ]
 
@@ -317,13 +319,16 @@ def _aeb_load(a, b, e0, e_tile, n_blocks_arr, axis):
     return pltpu.roll(two, -shift, axis)
 
 
-def _sr2_kernel(*refs, s_tile, e_tile, n_vblocks, v_aeb, w_dyn):
+def _sr2_kernel(*refs, s_tile, e_tile, n_vblocks, n_full, v_aeb, w_dyn):
     ob_ref, e0_ref = refs[0], refs[1]
     i = 2
     dst_ref = refs[i]; i += 1
     wm_ref = refs[i]; i += 1
+    tail_ref = None
     if v_aeb:
         vA_ref, vB_ref = refs[i], refs[i + 1]; i += 2
+        if n_full < n_vblocks:  # ragged tail block passed separately
+            tail_ref = refs[i]; i += 1
     else:
         v_ref = refs[i]; i += 1
     if w_dyn:
@@ -338,7 +343,14 @@ def _sr2_kernel(*refs, s_tile, e_tile, n_vblocks, v_aeb, w_dyn):
     e0 = e0_ref[t]
 
     if v_aeb:
-        v = _aeb_load(vA_ref[...], vB_ref[...], e0, e_tile, n_vblocks, 0)[:e_tile]
+        b0 = jnp.clip(e0 // e_tile, 0, n_vblocks - 2)
+        a, b = vA_ref[...], vB_ref[...]
+        if tail_ref is not None:
+            # logical blocks >= n_full live in the once-resident tail block
+            # (avoids an O(nnz) pad-copy of the caller's value array)
+            a = jnp.where(b0 >= n_full, tail_ref[...], a)
+            b = jnp.where(b0 + 1 >= n_full, tail_ref[...], b)
+        v = _aeb_load(a, b, e0, e_tile, n_vblocks, 0)[:e_tile]
     else:
         v = v_ref[:]
     if w_dyn:
@@ -393,19 +405,27 @@ def plan_segment_sum_sr2(
     n_f = f_pad // f_tile
     out_dtype = out_dtype or vals.dtype
 
+    tail = None
+    n_full = 0
     if v_aeb:
-        # every real edge row must sit in a full block (pad is an O(n) copy;
-        # callers that care pass rows already rounded to e_tile)
-        target = max(_round_up(vals.shape[0], e_tile), 2 * e_tile)
-        if vals.shape[0] < target:
-            vals = jnp.pad(vals, ((0, target - vals.shape[0]), (0, 0)))
-        n_vblocks = target // e_tile
+        if vals.shape[0] < 2 * e_tile:  # tiny input: one cheap pad
+            vals = jnp.pad(vals, ((0, 2 * e_tile - vals.shape[0]), (0, 0)))
+        rows = vals.shape[0]
+        n_full = rows // e_tile
+        rem = rows - n_full * e_tile
+        n_vblocks = n_full + (1 if rem else 0)
+        if rem:
+            # ragged tail: copy only the last <e_tile rows into a separate
+            # once-resident block instead of an O(nnz) pad of `vals`
+            tail = jnp.pad(vals[n_full * e_tile :], ((0, e_tile - rem), (0, 0)))
     else:
         assert vals.shape[0] == T * e_tile, (vals.shape, T, e_tile)
         n_vblocks = plan.n_value_blocks or 2
+        n_full = n_vblocks
 
     wm = w_slots if w_slots is not None else plan.mask
     b_clamp = n_vblocks - 2
+    b_main = max(n_full - 1, 0)
 
     in_specs = [
         pl.BlockSpec((1, 1, e_tile), lambda f, t, ob, e0: (t, 0, 0)),
@@ -419,14 +439,27 @@ def plan_segment_sum_sr2(
         in_specs += [
             pl.BlockSpec(
                 (e_tile, f_tile),
-                lambda f, t, ob, e0: (jnp.clip(e0[t] // e_tile, 0, b_clamp), f),
+                lambda f, t, ob, e0: (
+                    jnp.minimum(jnp.clip(e0[t] // e_tile, 0, b_clamp), b_main),
+                    f,
+                ),
             ),
             pl.BlockSpec(
                 (e_tile, f_tile),
-                lambda f, t, ob, e0: (jnp.clip(e0[t] // e_tile, 0, b_clamp) + 1, f),
+                lambda f, t, ob, e0: (
+                    jnp.minimum(
+                        jnp.clip(e0[t] // e_tile, 0, b_clamp) + 1, b_main
+                    ),
+                    f,
+                ),
             ),
         ]
         operands += [vals, vals]
+        if tail is not None:
+            in_specs += [
+                pl.BlockSpec((e_tile, f_tile), lambda f, t, ob, e0: (0, f))
+            ]
+            operands += [tail]
     else:
         in_specs += [
             pl.BlockSpec((e_tile, f_tile), lambda f, t, ob, e0: (t, f))
@@ -463,6 +496,7 @@ def plan_segment_sum_sr2(
             s_tile=s_tile,
             e_tile=e_tile,
             n_vblocks=n_vblocks,
+            n_full=n_full,
             v_aeb=v_aeb,
             w_dyn=w_dyn,
         ),
@@ -472,7 +506,7 @@ def plan_segment_sum_sr2(
     )(plan.out_block, plan.e0, *operands)
 
 
-def _packed2_kernel(*refs, s_tile, e_tile, pack, n_feat, n_vblocks, w_dyn):
+def _packed2_kernel(*refs, s_tile, e_tile, pack, n_feat, n_vblocks, n_full, w_dyn):
     """Packed-SR with AEB value loading: values [rows, 128] in edge order
     (row r = edges r*pack..r*pack+pack-1 on lanes), rolled whole rows —
     the plan's pack_align guarantees e0 % pack == 0. dst/wm stay k-major
@@ -483,6 +517,9 @@ def _packed2_kernel(*refs, s_tile, e_tile, pack, n_feat, n_vblocks, w_dyn):
     dst_ref = refs[i]; i += 1
     wm_ref = refs[i]; i += 1
     vA_ref, vB_ref = refs[i], refs[i + 1]; i += 2
+    tail_ref = None
+    if n_full < n_vblocks:
+        tail_ref = refs[i]; i += 1
     if w_dyn:
         wA_ref, wB_ref = refs[i], refs[i + 1]; i += 2
     o_ref, acc_ref = refs[i], refs[i + 1]
@@ -497,7 +534,11 @@ def _packed2_kernel(*refs, s_tile, e_tile, pack, n_feat, n_vblocks, w_dyn):
     rows = e_tile // pack
     b0 = jnp.clip(e0 // e_tile, 0, n_vblocks - 2)
     shift_rows = (e0 - b0 * e_tile) // pack
-    v2 = jnp.concatenate([vA_ref[:], vB_ref[:]], axis=0)
+    a, b = vA_ref[:], vB_ref[:]
+    if tail_ref is not None:
+        a = jnp.where(b0 >= n_full, tail_ref[:], a)
+        b = jnp.where(b0 + 1 >= n_full, tail_ref[:], b)
+    v2 = jnp.concatenate([a, b], axis=0)
     v = pltpu.roll(v2, -shift_rows, 0)[:rows]  # [rows, pack*n_feat]
     if w_dyn:
         w2 = jnp.concatenate([wA_ref[0], wB_ref[0]], axis=1)
@@ -558,33 +599,64 @@ def plan_segment_sum_packed2(
     out_dtype = out_dtype or vals_edges.dtype
     w_dyn = w_edge is not None
 
-    # edge rows -> packed rows ([nnz, n] -> [nnz//pack, 128] pure reshape);
-    # rows padded to an e_tile multiple so every real edge is in a full block
-    target = max(_round_up(vals_edges.shape[0], e_tile), 2 * e_tile)
-    if vals_edges.shape[0] < target:
+    # edge rows -> packed rows: [K*e_tile, n] -> [K*rows_tile, 128] is a
+    # layout-free reshape; the ragged tail (< e_tile edges) goes into a
+    # separate once-resident block instead of an O(nnz) pad-copy
+    if vals_edges.shape[0] < 2 * e_tile:
         vals_edges = jnp.pad(
-            vals_edges, ((0, target - vals_edges.shape[0]), (0, 0))
+            vals_edges, ((0, 2 * e_tile - vals_edges.shape[0]), (0, 0))
         )
-    v_packed = vals_edges.reshape(target // pack, 128)
-    n_vblocks = target // e_tile
+    rows = vals_edges.shape[0]
+    n_full = rows // e_tile
+    rem = rows - n_full * e_tile
+    n_vblocks = n_full + (1 if rem else 0)
+    if rows % pack == 0:
+        # layout-free reshape of the whole array; the partial region past
+        # the last full block is never indexed (b_main clamp)
+        v_packed = vals_edges.reshape(rows // pack, 128)
+    else:
+        v_packed = vals_edges[: n_full * e_tile].reshape(n_full * rows_tile, 128)
+    tail = None
+    if rem:
+        tail = jnp.pad(
+            vals_edges[n_full * e_tile :], ((0, e_tile - rem), (0, 0))
+        ).reshape(rows_tile, 128)
     b_clamp = n_vblocks - 2
+    b_main = max(n_full - 1, 0)
 
-    wm = _k_major(w_slots if w_slots is not None else plan.mask, T, e_tile, pack)
-    dst_km = _k_major(plan.dst_slots, T, e_tile, pack)
+    if w_slots is None and plan.mask_km is not None and plan.km_pack == pack:
+        wm = plan.mask_km
+    else:
+        wm = _k_major(
+            w_slots if w_slots is not None else plan.mask, T, e_tile, pack
+        )
+    if plan.dst_km is not None and plan.km_pack == pack:
+        dst_km = plan.dst_km
+    else:
+        dst_km = _k_major(plan.dst_slots, T, e_tile, pack)
 
     in_specs = [
         pl.BlockSpec((1, 1, e_tile), lambda t, ob, e0: (t, 0, 0)),
         pl.BlockSpec((1, 1, e_tile), lambda t, ob, e0: (t, 0, 0)),
         pl.BlockSpec(
             (rows_tile, 128),
-            lambda t, ob, e0: (jnp.clip(e0[t] // e_tile, 0, b_clamp), 0),
+            lambda t, ob, e0: (
+                jnp.minimum(jnp.clip(e0[t] // e_tile, 0, b_clamp), b_main),
+                0,
+            ),
         ),
         pl.BlockSpec(
             (rows_tile, 128),
-            lambda t, ob, e0: (jnp.clip(e0[t] // e_tile, 0, b_clamp) + 1, 0),
+            lambda t, ob, e0: (
+                jnp.minimum(jnp.clip(e0[t] // e_tile, 0, b_clamp) + 1, b_main),
+                0,
+            ),
         ),
     ]
     operands = [dst_km, wm, v_packed, v_packed]
+    if tail is not None:
+        in_specs += [pl.BlockSpec((rows_tile, 128), lambda t, ob, e0: (0, 0))]
+        operands += [tail]
     if w_dyn:
         n_wrows = n_vblocks * e_tile
         w_pad = w_edge
@@ -618,6 +690,7 @@ def plan_segment_sum_packed2(
             pack=pack,
             n_feat=n_feat,
             n_vblocks=n_vblocks,
+            n_full=n_full,
             w_dyn=w_dyn,
         ),
         grid_spec=grid_spec,
@@ -633,6 +706,285 @@ def _k_major(arr: jax.Array, T: int, e_tile: int, pack: int) -> jax.Array:
     return (
         arr.reshape(T, rows, pack).transpose(0, 2, 1).reshape(T, 1, e_tile)
     )
+
+
+# ---------------------------------------------------------------------------
+# v3 kernels: block-aligned tiles (BAT)
+#
+# A tile is an (output window, value block) incidence (see
+# `geot_tpu.graph.plan.BatPlan`). The kernel loads ONE raw e_tile-aligned
+# block of the caller's dst-sorted per-edge arrays (values, dst ids,
+# weights) — no gather, no roll, no slot layout, no per-tile index arrays —
+# and reduces it into its window with the usual one-hot matmul. Edges of
+# the block that belong to other windows (and the -1-padded phantom tail)
+# produce window-local ids outside [0, s_tile) and match no one-hot row, so
+# they drop out with zero masking cost. This is the TPU analogue of the
+# reference kernels reading src/dst/weight straight from the edge list
+# (`csrc/cuda/gather_weight_scatter_kernel.cuh:20-185`).
+# ---------------------------------------------------------------------------
+
+
+def _bat_kernel(*refs, s_tile, e_tile, n_full, has_w, has_tail):
+    ob_ref, vb_ref = refs[0], refs[1]
+    i = 2
+    dst_ref = refs[i]; i += 1
+    w_ref = None
+    if has_w:
+        w_ref = refs[i]; i += 1
+    v_ref = refs[i]; i += 1
+    tail_ref = None
+    if has_tail:
+        tail_ref = refs[i]; i += 1
+    o_ref, acc_ref = refs[i], refs[i + 1]
+
+    t = pl.program_id(1)
+    n_t = pl.num_programs(1)
+    cur = ob_ref[t]
+    first = jnp.logical_or(t == 0, ob_ref[jnp.maximum(t - 1, 0)] != cur)
+    last = jnp.logical_or(t == n_t - 1, ob_ref[jnp.minimum(t + 1, n_t - 1)] != cur)
+
+    v = v_ref[:]
+    if tail_ref is not None:
+        v = jnp.where(vb_ref[t] >= n_full, tail_ref[...], v)
+    if w_ref is not None:
+        v = v * w_ref[0, 0, :][:, None].astype(v.dtype)
+    local = dst_ref[0, 0, :] - cur * s_tile  # out-of-window/-1 -> no match
+    seg_ids = jax.lax.broadcasted_iota(jnp.int32, (s_tile, e_tile), 0)
+    onehot = (seg_ids == local[None, :]).astype(jnp.float32)
+    part = _onehot_dot(onehot, v)
+
+    @pl.when(first)
+    def _():
+        acc_ref[:] = part
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        acc_ref[:] = acc_ref[:] + part
+
+    @pl.when(last)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def bat_segment_sum(
+    bp: BatPlan,
+    vals: jax.Array,  # [>=nnz rows, F_pad] EDGE order (dst-sorted)
+    w_edge: Optional[jax.Array] = None,  # [nnz] edge weights (any order = edge)
+    *,
+    f_tile: int = 128,
+    out_dtype=None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Wide BAT segment sum. Returns [n_blocks*s_tile, F_pad]."""
+    if interpret is None:
+        interpret = default_interpret()
+    T, e_tile, s_tile = bp.num_tiles, bp.e_tile, bp.s_tile
+    f_pad = vals.shape[1]
+    assert f_pad % f_tile == 0, (f_pad, f_tile)
+    n_f = f_pad // f_tile
+    out_dtype = out_dtype or vals.dtype
+
+    if vals.shape[0] < e_tile:
+        vals = jnp.pad(vals, ((0, e_tile - vals.shape[0]), (0, 0)))
+    rows = vals.shape[0]
+    n_full = rows // e_tile
+    rem = rows - n_full * e_tile
+    tail = None
+    if rem and n_full < bp.n_vblocks:
+        # ragged tail: zero-padded copy of the last <e_tile rows, loaded
+        # once — ragged Pallas block loads could surface NaN garbage that
+        # survives 0*NaN in the one-hot dot
+        tail = jnp.pad(vals[n_full * e_tile :], ((0, e_tile - rem), (0, 0)))
+    has_tail = tail is not None
+    b_main = max(n_full - 1, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, e_tile), lambda f, t, ob, vb: (vb[t], 0, 0)),
+    ]
+    operands = [bp.dst3]
+    if w_edge is not None:
+        # +1 block: sentinel (pad) tiles index one past the real blocks
+        n_wrows = (bp.n_vblocks + 1) * e_tile
+        w_pad = w_edge.astype(jnp.float32)
+        if w_pad.shape[0] < n_wrows:
+            w_pad = jnp.pad(w_pad, (0, n_wrows - w_pad.shape[0]))
+        w3 = w_pad[:n_wrows].reshape(-1, 1, e_tile)
+        in_specs += [
+            pl.BlockSpec((1, 1, e_tile), lambda f, t, ob, vb: (vb[t], 0, 0))
+        ]
+        operands += [w3]
+    in_specs += [
+        pl.BlockSpec(
+            (e_tile, f_tile),
+            lambda f, t, ob, vb: (jnp.minimum(vb[t], b_main), f),
+        )
+    ]
+    operands += [vals]
+    if has_tail:
+        in_specs += [pl.BlockSpec((e_tile, f_tile), lambda f, t, ob, vb: (0, f))]
+        operands += [tail]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_f, T),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((s_tile, f_tile), lambda f, t, ob, vb: (ob[t], f)),
+        scratch_shapes=[pltpu.VMEM((s_tile, f_tile), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _bat_kernel,
+            s_tile=s_tile,
+            e_tile=e_tile,
+            n_full=n_full,
+            has_w=w_edge is not None,
+            has_tail=has_tail,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bp.n_blocks * s_tile, f_pad), out_dtype),
+        interpret=interpret,
+    )(bp.out_block, bp.vblock, *operands)
+
+
+def _bat_packed_kernel(*refs, s_tile, e_tile, pack, n_feat, n_full, has_w, has_tail):
+    ob_ref, vb_ref = refs[0], refs[1]
+    i = 2
+    dst_ref = refs[i]; i += 1  # [1, 1, e_tile] k-major dst ids of the block
+    w_ref = None
+    if has_w:
+        w_ref = refs[i]; i += 1  # [1, 1, e_tile] raw (r-major) weights
+    v_ref = refs[i]; i += 1  # [rows_tile, 128] packed values
+    tail_ref = None
+    if has_tail:
+        tail_ref = refs[i]; i += 1
+    o_ref, acc_ref = refs[i], refs[i + 1]
+
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+    cur = ob_ref[t]
+    first = jnp.logical_or(t == 0, ob_ref[jnp.maximum(t - 1, 0)] != cur)
+    last = jnp.logical_or(t == n_t - 1, ob_ref[jnp.minimum(t + 1, n_t - 1)] != cur)
+
+    rows = e_tile // pack
+    v = v_ref[:]
+    if tail_ref is not None:
+        v = jnp.where(vb_ref[t] >= n_full, tail_ref[:], v)
+    local = dst_ref[0, 0, :] - cur * s_tile  # k-major
+    if w_ref is not None:
+        wr = w_ref[0, 0, :][None, :]  # [1, e_tile] r-major
+    part = jnp.zeros((s_tile, n_feat), jnp.float32)
+    seg_ids = jax.lax.broadcasted_iota(jnp.int32, (s_tile, rows), 0)
+    for k in range(pack):
+        lk = local[k * rows : (k + 1) * rows]
+        vk = v[:, k * n_feat : (k + 1) * n_feat]
+        if w_ref is not None:
+            # exact-ish strided lane-select of sub-position k's weights
+            j_ids = jax.lax.broadcasted_iota(jnp.int32, (e_tile, rows), 0)
+            r_ids = jax.lax.broadcasted_iota(jnp.int32, (e_tile, rows), 1)
+            sel = (j_ids == r_ids * pack + k).astype(jnp.float32)
+            wk = _onehot_dot(sel, wr, swap=True)[0]  # [rows]
+            vk = vk * wk[:, None].astype(vk.dtype)
+        onehot = (seg_ids == lk[None, :]).astype(jnp.float32)
+        part = part + _onehot_dot(onehot, vk)
+
+    @pl.when(first)
+    def _():
+        acc_ref[:] = part
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        acc_ref[:] = acc_ref[:] + part
+
+    @pl.when(last)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def bat_segment_sum_packed(
+    bp: BatPlan,
+    vals: jax.Array,  # [>=nnz rows, n_feat] EDGE order, n_feat | 128
+    w_edge: Optional[jax.Array] = None,
+    *,
+    out_dtype=None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Packed BAT segment sum for narrow features (needs bp.dst_km built
+    with km_pack == 128//n_feat). Returns [n_blocks*s_tile, n_feat]."""
+    if interpret is None:
+        interpret = default_interpret()
+    T, e_tile, s_tile = bp.num_tiles, bp.e_tile, bp.s_tile
+    n_feat = vals.shape[1]
+    pack = 128 // n_feat
+    assert 128 % n_feat == 0 and e_tile % pack == 0
+    assert bp.dst_km is not None and bp.km_pack == pack, (bp.km_pack, pack)
+    rows_tile = e_tile // pack
+    out_dtype = out_dtype or vals.dtype
+
+    if vals.shape[0] < e_tile:
+        vals = jnp.pad(vals, ((0, e_tile - vals.shape[0]), (0, 0)))
+    rows = vals.shape[0]
+    n_full = rows // e_tile
+    rem = rows - n_full * e_tile
+    if rows % pack == 0:
+        v_packed = vals.reshape(rows // pack, 128)
+    else:
+        v_packed = vals[: n_full * e_tile].reshape(n_full * rows_tile, 128)
+    tail = None
+    if rem and n_full < bp.n_vblocks:
+        tail = jnp.pad(
+            vals[n_full * e_tile :], ((0, e_tile - rem), (0, 0))
+        ).reshape(rows_tile, 128)
+    has_tail = tail is not None
+    b_main = max(n_full - 1, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, e_tile), lambda t, ob, vb: (vb[t], 0, 0)),
+    ]
+    operands = [bp.dst_km.reshape(-1, 1, e_tile)]
+    if w_edge is not None:
+        # +1 block: sentinel (pad) tiles index one past the real blocks
+        n_wrows = (bp.n_vblocks + 1) * e_tile
+        w_pad = w_edge.astype(jnp.float32)
+        if w_pad.shape[0] < n_wrows:
+            w_pad = jnp.pad(w_pad, (0, n_wrows - w_pad.shape[0]))
+        w3 = w_pad[:n_wrows].reshape(-1, 1, e_tile)
+        in_specs += [
+            pl.BlockSpec((1, 1, e_tile), lambda t, ob, vb: (vb[t], 0, 0))
+        ]
+        operands += [w3]
+    in_specs += [
+        pl.BlockSpec(
+            (rows_tile, 128),
+            lambda t, ob, vb: (jnp.minimum(vb[t], b_main), 0),
+        )
+    ]
+    operands += [v_packed]
+    if has_tail:
+        in_specs += [pl.BlockSpec((rows_tile, 128), lambda t, ob, vb: (0, 0))]
+        operands += [tail]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((s_tile, n_feat), lambda t, ob, vb: (ob[t], 0)),
+        scratch_shapes=[pltpu.VMEM((s_tile, n_feat), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _bat_packed_kernel,
+            s_tile=s_tile,
+            e_tile=e_tile,
+            pack=pack,
+            n_feat=n_feat,
+            n_full=n_full,
+            has_w=w_edge is not None,
+            has_tail=has_tail,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bp.n_blocks * s_tile, n_feat), out_dtype),
+        interpret=interpret,
+    )(bp.out_block, bp.vblock, *operands)
 
 
 def plan_segment_sum_sr(

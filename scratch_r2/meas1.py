@@ -19,7 +19,7 @@ print("== index_scatter (vals in edge order, no gather) ==", flush=True)
 for N in (32, 128):
     vals = jnp.asarray(rng.standard_normal((d.num_edges, N)).astype(np.float32))
     idx = jnp.asarray(dst_s)
-    plan = build_segment_plan(dst_s, None, n, e_tile=512, s_tile=256)
+    plan = build_segment_plan(dst_s, None, n, e_tile=512, s_tile=256, feature_hint=N)
     f = jax.jit(functools.partial(
         lambda p, v, i: ops.index_scatter(v, i, n, plan=p, backend="pallas"), plan))
     t = timeit(f, vals, idx, warmup=3, iters=20)

@@ -417,6 +417,86 @@ def test_index_scatter_aeb_nondivisible_nnz():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("n_feat", [4, 16, 32, 100, 128])
+def test_bat_spmm_static_dynamic_grad(n_feat):
+    """v3 BAT kernels: static / dynamic / unweighted SpMM + gradients vs
+    the XLA reference, over a hubby graph."""
+    from geot_tpu.ops import api as ops
+    from geot_tpu.ops import reference as ref
+
+    rng = np.random.default_rng(91)
+    n = 220
+    dst = np.concatenate([
+        np.full(600, 7, np.int32),
+        rng.integers(0, n, 1100).astype(np.int32),
+    ])
+    src = rng.integers(0, n, len(dst)).astype(np.int32)
+    w_host = rng.standard_normal(len(dst)).astype(np.float32)
+    g = build_graph(src, dst, n, edge_weight=w_host, e_tile=64, s_tile=64,
+                    feature_hint=n_feat)
+    assert g.bat is not None
+    x = jnp.asarray(rng.standard_normal((n, n_feat)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal(len(dst)).astype(np.float32))
+
+    # static weights via segment_spmm
+    out = ops.segment_spmm(g, x, backend="pallas")
+    exp = ref.gather_weight_scatter_ref(g.src, g.dst, g.edge_weight, x, n)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(exp), rtol=2e-3, atol=2e-3)
+    gr = jax.grad(lambda xx: jnp.sum(ops.segment_spmm(g, xx, backend="pallas") ** 2))(x)
+    ge = jax.grad(lambda xx: jnp.sum(
+        ref.gather_weight_scatter_ref(g.src, g.dst, g.edge_weight, xx, n) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(ge), rtol=2e-3, atol=2e-3)
+
+    # dynamic weights incl. dw
+    out = geot_tpu.gather_weight_scatter(g.src, g.dst, w, x, n, graph=g,
+                                         backend="pallas")
+    exp = ref.gather_weight_scatter_ref(g.src, g.dst, w, x, n)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(exp), rtol=2e-3, atol=2e-3)
+    dw = jax.grad(lambda ww: jnp.sum(geot_tpu.gather_weight_scatter(
+        g.src, g.dst, ww, x, n, graph=g, backend="pallas") ** 2))(w)
+    dwe = jax.grad(lambda ww: jnp.sum(
+        ref.gather_weight_scatter_ref(g.src, g.dst, ww, x, n) ** 2))(w)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dwe), rtol=2e-3, atol=3e-3)
+
+    # unweighted + mean
+    out = geot_tpu.gather_scatter(g.src, g.dst, x, n, graph=g, backend="pallas")
+    exp = ref.gather_scatter_ref(g.src, g.dst, x, n)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(exp), rtol=2e-3, atol=2e-3)
+    out = ops.segment_spmm(g, x, reduce="mean", backend="pallas")
+    exp = ref.gather_weight_scatter_ref(g.src, g.dst, g.edge_weight, x, n, "mean")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(exp), rtol=2e-3, atol=2e-3)
+
+
+def test_bat_index_scatter_chunked():
+    """index_scatter over a BatPlan, chunked (uniformized) and not."""
+    from geot_tpu.graph.plan import build_bat_plan
+    from geot_tpu.ops import api as ops
+
+    rng = np.random.default_rng(92)
+    nnz, n_seg = 3003, 400
+    idx = np.sort(rng.integers(0, n_seg, nnz)).astype(np.int32)
+    for n_feat in (16, 100):
+        vals = jnp.asarray(rng.standard_normal((nnz, n_feat)).astype(np.float32))
+        from geot_tpu.graph.plan import packed_width
+        nw = packed_width(n_feat)
+        bp = build_bat_plan(idx, n_seg, e_tile=64, s_tile=64,
+                            km_pack=(128 // nw) if nw else 0)
+        out = ops.index_scatter(vals, jnp.asarray(idx), n_seg, plan=bp,
+                                backend="pallas")
+        expect = ops.index_scatter(vals, jnp.asarray(idx), n_seg,
+                                   backend="reference")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                                   rtol=2e-3, atol=2e-3)
+        bpc = build_bat_plan(idx, n_seg, e_tile=64, s_tile=64,
+                             km_pack=(128 // nw) if nw else 0,
+                             max_chunk_tiles=7)
+        assert bpc.chunks and bpc.chunk_blocks > 0
+        out_c = ops.index_scatter(vals, jnp.asarray(idx), n_seg, plan=bpc,
+                                  backend="pallas")
+        np.testing.assert_allclose(np.asarray(out_c), np.asarray(expect),
+                                   rtol=2e-3, atol=2e-3)
+
+
 def test_dynamic_weight_grad_uses_precomposed_transpose():
     """gather_weight_scatter with per-call weights: dx/dw through the
     Pallas path (backward permutes weights once via Graph.edge_pos_t) must
