@@ -33,6 +33,7 @@ class GraphData:
     src: np.ndarray
     dst: np.ndarray
     num_nodes: int
+    edge_weight: Optional[np.ndarray] = None
     x: Optional[np.ndarray] = None
     y: Optional[np.ndarray] = None
     train_mask: Optional[np.ndarray] = None
@@ -67,6 +68,7 @@ def load_npz(path: str) -> GraphData:
         src=d["src"].astype(np.int32),
         dst=d["dst"].astype(np.int32),
         num_nodes=int(d["num_nodes"]),
+        edge_weight=d.get("edge_weight"),
         x=d.get("x"),
         y=d.get("y"),
         train_mask=d.get("train_mask"),

@@ -52,6 +52,7 @@ def prepare_graph(
     add_self_loops: bool = True,
     edge_weight=None,
     normalize: Optional[str] = None,
+    improved: bool = False,
     e_tile: Optional[int] = None,
     s_tile: Optional[int] = None,
     feature_hint: int = 128,
@@ -68,17 +69,33 @@ def prepare_graph(
     d_dst^-1/2 · w · d_src^-1/2 into the graph's cached slot weights
     (reference computes it per forward, `models/conv/gcnconv.py:41-57`;
     here it is graph data, hoisted out of the step entirely).
+    `improved=True` uses PyG's fill_value=2 self-loops
+    (`models/conv/gcnconv.py:39`, GCNConv `improved` flag).
     """
     src = np.asarray(src, dtype=np.int32)
     dst = np.asarray(dst, dtype=np.int32)
     if add_self_loops:
+        # PyG `add_remaining_self_loops` semantics
+        # (`models/conv/gcnconv.py:85-87`): drop existing diagonal edges,
+        # then append the full diagonal at fill_value (2 when `improved`) —
+        # existing self-loop weights are REPLACED, not kept alongside.
+        fill = 2.0 if improved else 1.0
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
         loop = np.arange(num_nodes, dtype=np.int32)
-        src = np.concatenate([src, loop])
-        dst = np.concatenate([dst, loop])
         if edge_weight is not None:
             edge_weight = np.concatenate(
-                [np.asarray(edge_weight), np.ones(num_nodes, np.float32)]
+                [
+                    np.asarray(edge_weight, np.float32)[keep],
+                    np.full(num_nodes, fill, np.float32),
+                ]
             )
+        elif improved:
+            edge_weight = np.concatenate(
+                [np.ones(len(src), np.float32), np.full(num_nodes, fill, np.float32)]
+            )
+        src = np.concatenate([src, loop])
+        dst = np.concatenate([dst, loop])
     if normalize == "gcn":
         base = (
             np.ones(len(src), np.float32)

@@ -1,0 +1,144 @@
+"""Real (non-synthetic) data end-to-end + PyG gcn_norm convention parity.
+
+Covers the reference's real-dataset flow (`models/utils.py:15-55`: dataset →
+adjacency prep → model) with vendored real graphs (Zachary karate club,
+Les Misérables co-occurrence — see `scripts/make_fixtures.py`), and pins our
+GCN normalization to PyG's exact `gcn_norm` semantics
+(`models/conv/gcnconv.py:30-98`): add_remaining_self_loops (existing
+diagonal REPLACED at fill_value), improved=2.0 fill, deg^-1/2 masking of
+isolated nodes, edge-weight handling.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geot_tpu.graph.datasets import load_npz
+from geot_tpu.models.conv import GCNConv, prepare_graph
+from geot_tpu.models.basic_gnn import GCN
+from geot_tpu.models.train import (
+    load_checkpoint,
+    save_checkpoint,
+    train_node_classifier,
+)
+from geot_tpu.ops import api as ops
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _pyg_gcn_norm(src, dst, n, edge_weight=None, improved=False,
+                  add_self_loops=True):
+    """numpy transliteration of PyG's gcn_norm edge_index branch
+    (`models/conv/gcnconv.py:82-100`), flow='source_to_target'."""
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    fill = 2.0 if improved else 1.0
+    if edge_weight is None:
+        edge_weight = np.ones(len(src), np.float64)
+    else:
+        edge_weight = np.asarray(edge_weight, np.float64)
+    if add_self_loops:
+        # add_remaining_self_loops: strip the diagonal, append full
+        # diagonal at fill_value
+        keep = src != dst
+        src, dst, edge_weight = src[keep], dst[keep], edge_weight[keep]
+        loop = np.arange(n)
+        src = np.concatenate([src, loop])
+        dst = np.concatenate([dst, loop])
+        edge_weight = np.concatenate([edge_weight, np.full(n, fill)])
+    # row=src, col=dst; deg over col for source_to_target
+    deg = np.zeros(n, np.float64)
+    np.add.at(deg, dst, edge_weight)
+    dis = deg ** -0.5
+    dis[~np.isfinite(dis)] = 0.0
+    return src, dst, dis[src] * edge_weight * dis[dst]
+
+
+@pytest.mark.parametrize("improved", [False, True])
+@pytest.mark.parametrize("weighted", [False, True])
+def test_gcn_norm_pyg_parity(improved, weighted):
+    """prepare_graph(normalize='gcn') must reproduce PyG's gcn_norm edge
+    weights exactly — including pre-existing self-loops (weight replaced,
+    not doubled) and an isolated node (deg^-1/2 → 0, no NaN)."""
+    rng = np.random.default_rng(3)
+    n = 50
+    src = rng.integers(0, n - 1, 300).astype(np.int32)  # node n-1 isolated
+    dst = rng.integers(0, n - 1, 300).astype(np.int32)
+    # force some pre-existing self-loops with non-1 weights
+    src[:10] = dst[:10] = np.arange(10, dtype=np.int32)
+    w = rng.uniform(0.5, 2.0, 300).astype(np.float32) if weighted else None
+
+    g = prepare_graph(src, dst, n, add_self_loops=True, edge_weight=w,
+                      normalize="gcn", improved=improved)
+    ps, pd, pw = _pyg_gcn_norm(src, dst, n, w, improved=improved)
+    # compare as dense matrices (edge order differs)
+    ours = np.zeros((n, n))
+    np.add.at(ours, (np.asarray(g.dst), np.asarray(g.src)),
+              np.asarray(g.edge_weight, np.float64))
+    theirs = np.zeros((n, n))
+    np.add.at(theirs, (pd, ps), pw)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+    assert np.all(np.isfinite(ours))
+
+
+def test_gcn_norm_no_self_loops_matches_pyg():
+    rng = np.random.default_rng(4)
+    n = 30
+    src = rng.integers(0, n, 200).astype(np.int32)
+    dst = rng.integers(0, n, 200).astype(np.int32)
+    g = prepare_graph(src, dst, n, add_self_loops=False, normalize="gcn")
+    ps, pd, pw = _pyg_gcn_norm(src, dst, n, add_self_loops=False)
+    ours = np.zeros((n, n))
+    np.add.at(ours, (np.asarray(g.dst), np.asarray(g.src)),
+              np.asarray(g.edge_weight, np.float64))
+    theirs = np.zeros((n, n))
+    np.add.at(theirs, (pd, ps), pw)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+def test_karate_train_checkpoint_eval(tmp_path):
+    """Real graph end-to-end: load_npz → prepare → train GCN → checkpoint →
+    reload → eval parity. Zachary karate-club faction prediction from 4
+    labeled nodes should reach ≥80% test accuracy (GCN with degree-bucket
+    features; the classic result is ~100% with structural features)."""
+    d = load_npz(os.path.join(FIXTURES, "karate.npz"))
+    assert d.num_nodes == 34 and d.num_edges == 156
+    g = prepare_graph(d.src, d.dst, d.num_nodes, normalize="gcn",
+                      feature_hint=16)
+    x = jnp.asarray(d.x)
+    y = jnp.asarray(d.y)
+    params, metrics = train_node_classifier(
+        GCN(hidden_features=16, num_layers=2, out_features=2, dropout_rate=0.0),
+        g, x, y,
+        jnp.asarray(d.train_mask), jnp.asarray(d.val_mask),
+        jnp.asarray(d.test_mask),
+        epochs=120, lr=0.02, weight_decay=5e-4, seed=0,
+    )
+    assert metrics["train_acc"] == 1.0
+    assert metrics["test_acc"] >= 0.80, metrics
+
+    model = GCN(hidden_features=16, num_layers=2, out_features=2, dropout_rate=0.0)
+    path = os.path.join(tmp_path, "karate.ckpt")
+    save_checkpoint(path, params, metrics)
+    params2, meta = load_checkpoint(path)
+    logits1 = model.apply(params, x, g)
+    logits2 = model.apply(params2, x, g)
+    np.testing.assert_array_equal(np.asarray(logits1), np.asarray(logits2))
+    assert meta["test_acc"] == metrics["test_acc"]
+
+
+def test_lesmis_weighted_spmm_oracle():
+    """Real weighted graph through the fused SpMM vs a dense oracle."""
+    d = load_npz(os.path.join(FIXTURES, "lesmis.npz"))
+    assert d.edge_weight is not None and d.num_nodes == 77
+    g = prepare_graph(d.src, d.dst, d.num_nodes, add_self_loops=False,
+                      edge_weight=d.edge_weight, feature_hint=16)
+    x = jnp.asarray(d.x)
+    out = ops.segment_spmm(g, x, backend="pallas")
+    adj = np.zeros((d.num_nodes, d.num_nodes), np.float64)
+    np.add.at(adj, (d.dst, d.src), np.asarray(d.edge_weight, np.float64))
+    expect = adj @ np.asarray(d.x, np.float64)
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=2e-3, atol=2e-3)
