@@ -483,7 +483,14 @@ def build_bat_plan_host(
     win = dst // s_tile
     blk = np.arange(nnz, dtype=np.int64) // e_tile
     key = win * n_vblocks + blk  # lexicographic (win, blk); non-decreasing
-    uniq = np.unique(key)
+    # key is already sorted: O(n) run-compaction instead of np.unique's sort
+    if nnz:
+        head = np.empty(nnz, bool)
+        head[0] = True
+        np.not_equal(key[1:], key[:-1], out=head[1:])
+        uniq = key[head]
+    else:
+        uniq = key
     ob = (uniq // n_vblocks).astype(np.int32)
     vb = (uniq % n_vblocks).astype(np.int32)
     # coverage tiles for empty windows (kernel must init every out block)

@@ -102,6 +102,8 @@ def build_graph(
     *,
     e_tile: Optional[int] = None,
     s_tile: Optional[int] = None,
+    bat_e_tile: Optional[int] = None,
+    bat_s_tile: Optional[int] = None,
     feature_hint: int = 128,
     assume_sorted: bool = False,
 ) -> Graph:
@@ -129,9 +131,15 @@ def build_graph(
         src, dst = src[order], dst[order]
         if edge_weight is not None:
             edge_weight = edge_weight[order]
+    # wide features never touch the packed kernels, so pack alignment can be
+    # 1 — which routes slot construction through the multithreaded native
+    # builder (3-5x faster host build; decisive at products scale)
+    from geot_tpu.graph.plan import packed_width as _pw
+
+    pa = 16 if (feature_hint and _pw(feature_hint)) else 1
     arrs, meta = build_segment_plan_host(
         dst, src, num_nodes, e_tile=e_tile, s_tile=s_tile,
-        num_src_nodes=num_nodes, mode_hint=mode_hint,
+        num_src_nodes=num_nodes, mode_hint=mode_hint, pack_align=pa,
     )
     # transpose: reduce over src; edges sorted by src
     perm_t = _stable_sort_perm(src, num_nodes)
@@ -143,6 +151,7 @@ def build_graph(
         s_tile=s_tile,
         num_src_nodes=num_nodes,
         mode_hint=mode_hint,
+        pack_align=pa,
     )
     w_slots = w_slots_t = None
     if edge_weight is not None and len(edge_weight):
@@ -159,9 +168,17 @@ def build_graph(
     plan = plan_from_host(arrs, meta, km_pack=km_pack)
     plan_t = plan_from_host(arrs_t, meta_t, km_pack=km_pack)
     src_t = src[perm_t]
-    bat = build_bat_plan(dst, num_nodes, e_tile=e_tile, s_tile=s_tile,
+    # BAT tiles: e=1024 measured fastest for wide features (bat_sweep,
+    # arxiv N=128: 3.27 ms vs 3.41 at e=512); packed narrow-N layouts keep
+    # e=512 (rows_tile = e/pack granularity). Chunks exist ONLY for the
+    # SMEM scalar-prefetch cap — measured (meas4): chunked "pipelining"
+    # does NOT overlap gather with kernel on TPU (XLA executes fusions
+    # sequentially on the core) and costs ~0.5 ms in slicing overhead.
+    bat_e = bat_e_tile or (1024 if (nw == 0 and e_tile * 2 <= 1024) else e_tile)
+    bat_s = bat_s_tile or s_tile
+    bat = build_bat_plan(dst, num_nodes, e_tile=bat_e, s_tile=bat_s,
                          km_pack=km_pack)
-    bat_t = build_bat_plan(src_t, num_nodes, e_tile=e_tile, s_tile=s_tile,
+    bat_t = build_bat_plan(src_t, num_nodes, e_tile=bat_e, s_tile=bat_s,
                            km_pack=km_pack)
     return Graph(
         src=jnp.asarray(src),

@@ -70,34 +70,45 @@ def _bucket(x: float) -> int:
     return b
 
 
+def bucket_key(n_features: int, nnz: int, num_segments: int) -> str:
+    avg = nnz / max(num_segments, 1)
+    return (
+        f"{_bucket(max(n_features, 1))}:{_bucket(max(nnz, 1))}:"
+        f"{_bucket(max(avg, 1.0))}"
+    )
+
+
 def select_config(
     n_features: int,
     nnz: int,
     num_segments: int,
     *,
+    op: str = "spmm",
     dtype_bytes: int = 4,
 ) -> KernelConfig:
     """Pick tile shapes from the op shape (feature_size, size, avg) — the
-    same feature triple the reference trees split on."""
+    same feature triple the reference trees split on. `op` selects the
+    table family ('spmm' | 'spmm_dyn' | 'index_scatter'); the measured
+    table keys are op-prefixed, with un-prefixed legacy keys as fallback.
+
+    For mode 'bat'/'bat_packed' the tiles are the BatPlan tiles (v3
+    kernels); 'sr'/'packed' are the legacy slot-layout tiles. 'pr' is never
+    recommended: the PR layout measured ~4x slower on TPU than packed-SR
+    (round-1 RESULTS) and `_pick_mode` treats it as opt-in only.
+    """
     avg = nnz / max(num_segments, 1)
     table = load_table()
     if table:
-        k = f"{_bucket(max(n_features,1))}:{_bucket(max(nnz,1))}:{_bucket(max(avg,1.0))}"
-        if k in table:
-            return table[k]
+        kb = bucket_key(n_features, nnz, num_segments)
+        for key in (f"{op}:{kb}", kb):
+            if key in table:
+                return table[key]
 
-    if n_features <= 16:
-        # PR layout: edges on lanes, features on sublanes.
-        e_tile = 512 if avg >= 16 else 256
-        return KernelConfig(mode="pr", e_tile=e_tile, s_tile=128, f_tile=128)
-
-    # SR layout. Wider output windows only when segments are dense enough
-    # that window-crossing padding stays small.
-    if avg >= 32:
-        s_tile, e_tile = 256, 512
-    elif avg >= 4:
-        s_tile, e_tile = 128, 256
-    else:
-        s_tile, e_tile = 128, 128
-    f_tile = 256 if n_features % 256 == 0 and n_features >= 256 else 128
-    return KernelConfig(mode="sr", e_tile=e_tile, s_tile=s_tile, f_tile=f_tile)
+    if n_features <= 64:
+        # packed BAT: 128//n lanes per edge row; measured best for narrow
+        # features (bat/packed sweeps, round 2)
+        return KernelConfig(mode="bat_packed", e_tile=512, s_tile=256)
+    # wide features: BAT with big edge blocks; narrow output windows only
+    # when segments are sparse (window-coverage tiles stay cheap)
+    s_tile = 256 if avg >= 8 else 128
+    return KernelConfig(mode="bat", e_tile=1024, s_tile=s_tile, f_tile=128)

@@ -12,12 +12,34 @@ from geot_tpu.tuning.sweep import measure_config, write_table
 
 
 def test_select_config_heuristic_shapes():
+    # narrow features: packed BAT (PR retired — measured 4x slower on TPU)
     cfg = select_config(8, 100_000, 10_000)
-    assert cfg.mode == "pr"
+    assert cfg.mode == "bat_packed"
     cfg = select_config(128, 1_000_000, 10_000)  # avg 100
-    assert cfg.mode == "sr" and cfg.e_tile >= 256
+    assert cfg.mode == "bat" and cfg.e_tile >= 512
     cfg = select_config(128, 10_000, 9_000)  # avg ~1
     assert cfg.s_tile <= 128
+
+
+def test_op_prefixed_table_keys(tmp_path, monkeypatch):
+    """Measured keys are op-scoped; un-prefixed keys remain a fallback."""
+    path = str(tmp_path / "table.json")
+    kb = H.bucket_key(64, 500_000, 50_000)
+    write_table(
+        {
+            f"index_scatter:{kb}": (KernelConfig("bat", 512, 128, 128), 1.0),
+            kb: (KernelConfig("bat", 1024, 256, 128), 1.0),
+        },
+        path,
+    )
+    monkeypatch.setenv(H.TABLE_ENV, path)
+    H._table_cache = None
+    cfg = select_config(64, 500_000, 50_000, op="index_scatter")
+    assert (cfg.e_tile, cfg.s_tile) == (512, 128)
+    # other op families fall back to the un-prefixed key
+    cfg = select_config(64, 500_000, 50_000, op="spmm")
+    assert (cfg.e_tile, cfg.s_tile) == (1024, 256)
+    H._table_cache = None
 
 
 def test_table_lookup_roundtrip(tmp_path, monkeypatch):
