@@ -43,8 +43,12 @@ def main() -> None:
     w_host = rng.standard_normal(d.num_edges).astype(np.float32)
     # static weights baked into the graph (the GCN model path: weights are
     # graph data, slot-ordered once at build — `geot_tpu.graph.structures`)
+    # BAT-only layouts at large scale: the slot plans are ~3 GB of HBM the
+    # BAT execution path never reads (and minutes of host build)
+    layouts = ("bat",) if n_edges > 20_000_000 else ("bat", "slot")
     g = prepare_graph(
-        d.src, d.dst, n_nodes, add_self_loops=False, edge_weight=w_host
+        d.src, d.dst, n_nodes, add_self_loops=False, edge_weight=w_host,
+        layouts=layouts,
     )
     x = jnp.asarray(rng.standard_normal((n_nodes, n_feat)).astype(np.float32))
 

@@ -17,7 +17,7 @@ here, amortized like the rest of the plan.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -106,6 +106,7 @@ def build_graph(
     bat_s_tile: Optional[int] = None,
     feature_hint: int = 128,
     assume_sorted: bool = False,
+    layouts: Tuple[str, ...] = ("bat", "slot"),
 ) -> Graph:
     """Host-side graph preprocessing: sort by dst, build fwd + transpose plans.
 
@@ -113,6 +114,13 @@ def build_graph(
     (feature_hint, nnz, avg degree) — the role of GeoT's decision-tree
     launch rules (`csrc/cuda/wrapper/index_scatter_rule.h`), consulted once
     at build instead of per call because the plan is precomputed.
+
+    `layouts` selects which plan families to build. `("bat",)` skips the
+    slot-layout SegmentPlans (and their cached slot weights) — at
+    products scale those are ~3 GB of HBM and minutes of host build the
+    BAT execution path never touches. Ops that need a slot plan (mh_spmm,
+    PR layout) raise if called on a bat-only graph; `segment_spmm` /
+    `index_scatter` / autograd run entirely on the BAT plans.
     """
     src = np.asarray(src, dtype=np.int32)
     dst = np.asarray(dst, dtype=np.int32)
@@ -137,36 +145,40 @@ def build_graph(
     from geot_tpu.graph.plan import packed_width as _pw
 
     pa = 16 if (feature_hint and _pw(feature_hint)) else 1
-    arrs, meta = build_segment_plan_host(
-        dst, src, num_nodes, e_tile=e_tile, s_tile=s_tile,
-        num_src_nodes=num_nodes, mode_hint=mode_hint, pack_align=pa,
-    )
-    # transpose: reduce over src; edges sorted by src
-    perm_t = _stable_sort_perm(src, num_nodes)
-    arrs_t, meta_t = build_segment_plan_host(
-        src[perm_t],
-        dst[perm_t],
-        num_nodes,
-        e_tile=e_tile,
-        s_tile=s_tile,
-        num_src_nodes=num_nodes,
-        mode_hint=mode_hint,
-        pack_align=pa,
-    )
-    w_slots = w_slots_t = None
-    if edge_weight is not None and len(edge_weight):
-        # slot weights from the host arrays (no device round-trip)
-        w_slots = jnp.asarray(_slot_weights_host(arrs, edge_weight))
-        w_slots_t = jnp.asarray(_slot_weights_host(arrs_t, edge_weight[perm_t]))
-    ep_t = perm_t.astype(np.int64)[arrs_t["edge_pos"].reshape(-1)].reshape(
-        arrs_t["edge_pos"].shape
-    ) if len(src) else arrs_t["edge_pos"]
     from geot_tpu.graph.plan import build_bat_plan, packed_width
 
     nw = packed_width(feature_hint) if feature_hint else 0
     km_pack = (128 // nw) if nw else 0
-    plan = plan_from_host(arrs, meta, km_pack=km_pack)
-    plan_t = plan_from_host(arrs_t, meta_t, km_pack=km_pack)
+    # transpose: reduce over src; edges sorted by src
+    perm_t = _stable_sort_perm(src, num_nodes)
+    plan = plan_t = w_slots = w_slots_t = ep_t = None
+    if "slot" in layouts:
+        arrs, meta = build_segment_plan_host(
+            dst, src, num_nodes, e_tile=e_tile, s_tile=s_tile,
+            num_src_nodes=num_nodes, mode_hint=mode_hint, pack_align=pa,
+        )
+        arrs_t, meta_t = build_segment_plan_host(
+            src[perm_t],
+            dst[perm_t],
+            num_nodes,
+            e_tile=e_tile,
+            s_tile=s_tile,
+            num_src_nodes=num_nodes,
+            mode_hint=mode_hint,
+            pack_align=pa,
+        )
+        if edge_weight is not None and len(edge_weight):
+            # slot weights from the host arrays (no device round-trip)
+            w_slots = jnp.asarray(_slot_weights_host(arrs, edge_weight))
+            w_slots_t = jnp.asarray(
+                _slot_weights_host(arrs_t, edge_weight[perm_t])
+            )
+        ep_t = perm_t.astype(np.int64)[arrs_t["edge_pos"].reshape(-1)].reshape(
+            arrs_t["edge_pos"].shape
+        ) if len(src) else arrs_t["edge_pos"]
+        ep_t = jnp.asarray(np.asarray(ep_t, np.int32))
+        plan = plan_from_host(arrs, meta, km_pack=km_pack)
+        plan_t = plan_from_host(arrs_t, meta_t, km_pack=km_pack)
     src_t = src[perm_t]
     # BAT tiles: e=1024 measured fastest for wide features (bat_sweep,
     # arxiv N=128: 3.27 ms vs 3.41 at e=512); packed narrow-N layouts keep
@@ -174,12 +186,16 @@ def build_graph(
     # SMEM scalar-prefetch cap — measured (meas4): chunked "pipelining"
     # does NOT overlap gather with kernel on TPU (XLA executes fusions
     # sequentially on the core) and costs ~0.5 ms in slicing overhead.
-    bat_e = bat_e_tile or (1024 if (nw == 0 and e_tile * 2 <= 1024) else e_tile)
-    bat_s = bat_s_tile or s_tile
-    bat = build_bat_plan(dst, num_nodes, e_tile=bat_e, s_tile=bat_s,
-                         km_pack=km_pack)
-    bat_t = build_bat_plan(src_t, num_nodes, e_tile=bat_e, s_tile=bat_s,
-                           km_pack=km_pack)
+    bat = bat_t = None
+    if "bat" in layouts:
+        bat_e = bat_e_tile or (
+            1024 if (nw == 0 and e_tile * 2 <= 1024) else e_tile
+        )
+        bat_s = bat_s_tile or s_tile
+        bat = build_bat_plan(dst, num_nodes, e_tile=bat_e, s_tile=bat_s,
+                             km_pack=km_pack)
+        bat_t = build_bat_plan(src_t, num_nodes, e_tile=bat_e, s_tile=bat_s,
+                               km_pack=km_pack)
     return Graph(
         src=jnp.asarray(src),
         dst=jnp.asarray(dst),
@@ -189,7 +205,7 @@ def build_graph(
         perm_t=jnp.asarray(perm_t.astype(np.int32)),
         w_slots=w_slots,
         w_slots_t=w_slots_t,
-        edge_pos_t=jnp.asarray(np.asarray(ep_t, np.int32)),
+        edge_pos_t=ep_t,
         bat=bat,
         bat_t=bat_t,
         dst_t=jnp.asarray(dst[perm_t]),

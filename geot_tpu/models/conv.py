@@ -56,6 +56,7 @@ def prepare_graph(
     e_tile: Optional[int] = None,
     s_tile: Optional[int] = None,
     feature_hint: int = 128,
+    layouts=("bat", "slot"),
 ) -> Graph:
     """One-time host-side adjacency prep for the conv layers: optionally add
     self-loops, dst-sort, build fwd+transpose SegmentPlans.
@@ -111,6 +112,7 @@ def prepare_graph(
     return build_graph(
         src, dst, num_nodes, edge_weight=edge_weight,
         e_tile=e_tile, s_tile=s_tile, feature_hint=feature_hint,
+        layouts=layouts,
     )
 
 

@@ -499,6 +499,14 @@ def _spmm_fwd_bat(bp: BatPlan, x, src, w_edge, token_gate=True):
     gather emits rows in raw EDGE order (no slot layout) and weights stream
     as raw blocks (per-call weights cost nothing extra)."""
     E = bp.e_tile
+    n = x.shape[1]
+    # wide path: pad x's columns to the kernel's feature tile BEFORE the
+    # gather — otherwise every chunk pays a full pad copy of its gathered
+    # [chunk_edges, N] block (a multi-GB transient at products scale)
+    if _packed_width(n) == 0:
+        f_pad = _round_up(max(n, 1), _pick_f_tile(n))
+        if f_pad != n:
+            x = jnp.pad(x, ((0, 0), (0, f_pad - n)))
 
     def vals_fn(vbase, size, token):
         if vbase is None:
@@ -510,7 +518,8 @@ def _spmm_fwd_bat(bp: BatPlan, x, src, w_edge, token_gate=True):
             )
         return _gated(x, token)[idx]
 
-    return _bat_sum(bp, vals_fn, x.shape[1], w_edge=w_edge)
+    out = _bat_sum(bp, vals_fn, x.shape[1], w_edge=w_edge)
+    return out[:, :n] if x.shape[1] != n else out
 
 
 @functools.lru_cache(maxsize=None)
@@ -574,28 +583,37 @@ def _make_gws_bat(use_pallas: bool, static_w: bool):
 
 
 def _mh_fwd(plan, x, w_heads, src, dst, use_pallas):
-    """x: [nodes, H, D]; w_heads: [nnz, H] → [num_segments, H, D]."""
+    """x: [nodes, H, D]; w_heads: [nnz, H] → [num_segments, H, D].
+
+    Chunk-streamed like the SpMM paths: the [T*E, H*D] slot gather is
+    materialized one chunk at a time (plan.chunks bounds it), so
+    reddit2-scale multi-head graphs fit on one chip."""
     n_nodes, H, D = x.shape
     if not use_pallas:
         return ref.mh_spmm_ref(src, dst, w_heads, x, plan.num_segments)
-    te = plan.src_slots.size
-    vals = x[plan.src_slots.reshape(-1)].reshape(te, H * D)
-    wh = w_heads[plan.edge_pos.reshape(-1)] * plan.mask.reshape(-1)[:, None].astype(
-        w_heads.dtype
-    )
     f_tile = min(_pick_f_tile(H * D), _round_up(H * D, 128))
     f_pad = _round_up(H * D, f_tile)
     if f_pad != H * D or f_tile % D != 0:
         # pad each head's feature dim so lanes never straddle heads
-        d_pad = _round_up(D, 128)
-        vals = jnp.pad(
-            x[plan.src_slots.reshape(-1)], ((0, 0), (0, 0), (0, d_pad - D))
-        ).reshape(te, H * d_pad)
-        out = plan_segment_sum_mh(plan, vals, wh, d_pad, f_tile=min(128, d_pad))
-        out = out[: plan.num_segments].reshape(plan.num_segments, H, d_pad)[:, :, :D]
-        return out
-    out = plan_segment_sum_mh(plan, vals, wh, D, f_tile=f_tile)
-    return out[: plan.num_segments].reshape(plan.num_segments, H, D)
+        d_used = _round_up(D, 128)
+        x2 = jnp.pad(x, ((0, 0), (0, 0), (0, d_used - D))).reshape(
+            n_nodes, H * d_used
+        )
+        f_use = min(128, d_used)
+    else:
+        d_used, f_use = D, f_tile
+        x2 = x.reshape(n_nodes, H * D)
+
+    def run_one(cp, t0, t1, w0, token):
+        vals = _gated(x2, token)[cp.src_slots.reshape(-1)]
+        wh = w_heads[cp.edge_pos.reshape(-1)] * cp.mask.reshape(-1)[
+            :, None
+        ].astype(w_heads.dtype)
+        out = plan_segment_sum_mh(cp, vals, wh, d_used, f_tile=f_use)
+        return out[: cp.num_segments]
+
+    out = _plan_sum_chunked(plan, run_one)
+    return out.reshape(plan.num_segments, H, d_used)[:, :, :D]
 
 
 def segment_counts(plan, backend: str = "auto") -> jax.Array:
@@ -942,8 +960,11 @@ def segment_spmm(
     if reduce == "sum":
         return out
     if reduce == "mean":
-        if use_p:
-            return _apply_reduce_post(out, graph.plan, "mean", backend)
+        if use_p and (graph.plan is not None or graph.bat is not None):
+            return _apply_reduce_post(
+                out, graph.plan if graph.plan is not None else graph.bat,
+                "mean", backend,
+            )
         deg = (
             jnp.zeros(graph.num_nodes, x.dtype).at[graph.dst].add(1.0, mode="drop")
         )
@@ -1077,32 +1098,53 @@ def gat_attention_spmm(
     `geot_tpu.graph.structures`). Fully differentiable.
     """
     plan = graph.plan
-    te = plan.src_slots.size
     H = alpha_src.shape[1]
     D = xh.shape[-1]
-    sflat = plan.src_slots.reshape(-1)
-    dflat = plan.dst_slots.reshape(-1)
-    mask = plan.mask.reshape(-1)
-    logits = jax.nn.leaky_relu(
-        alpha_src[sflat] + alpha_dst[dflat], negative_slope
-    )  # [T*E, H]
-    neg = jnp.asarray(-1e30, logits.dtype)
-    logits = jnp.where(mask[:, None] > 0, logits, neg)
-    m = (
-        jnp.full((plan.padded_segments, H), neg)
-        .at[dflat]
-        .max(logits, mode="drop")
-    )
-    m = jnp.maximum(m, -1e29)  # empty segments
-    e = jnp.exp(logits - m[dflat]) * mask[:, None].astype(logits.dtype)
+    n_nodes = graph.num_nodes
     use_p = _use_pallas(backend)
-    # denominator: per-head segment sum of e (vals=1 trick: reuse mh kernel
-    # with D=1 per head)
-    s = _make_mh_slot(use_p, 1)(jnp.ones((te, H), e.dtype), e, plan)  # [S_pad, H]
-    att = e / jnp.maximum(s, 1e-16)[dflat]
-    vals = xh.reshape(-1, H * D)[sflat]
-    out = _make_mh_slot(use_p, D)(vals, att.astype(vals.dtype), plan)
-    return out[: graph.num_nodes].reshape(graph.num_nodes, H, D)
+    # softmax statistics in EDGE space — [nodes, H] results, with the
+    # [nnz, H] logits a fusable transient (H ≪ H·D); segment max/sum over
+    # the dst-sorted edge list are cheap sorted-segment reductions
+    logit_e = jax.nn.leaky_relu(
+        alpha_src[graph.src] + alpha_dst[graph.dst], negative_slope
+    )  # [nnz, H]
+    m = jax.ops.segment_max(
+        logit_e, graph.dst, n_nodes, indices_are_sorted=True
+    )
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    s = jax.ops.segment_sum(
+        jnp.exp(logit_e - m[graph.dst]),
+        graph.dst,
+        n_nodes,
+        indices_are_sorted=True,
+    )
+    pad_rows = plan.padded_segments - n_nodes
+    m_pad = jnp.pad(m, ((0, pad_rows), (0, 0)))
+    s_pad = jnp.pad(s, ((0, pad_rows), (0, 0)), constant_values=1.0)
+    a_dst_pad = jnp.pad(alpha_dst, ((0, pad_rows), (0, 0)))
+    xflat = xh.reshape(-1, H * D)
+
+    # aggregation chunk-streamed in slot space: attention weights are
+    # produced directly in the plan's slot layout (no nnz-scalar
+    # permutation), one chunk's [chunk_slots, H*D] gather live at a time
+    def run_one(cp, t0, t1, w0, token):
+        sflat = cp.src_slots.reshape(-1)
+        dglob = cp.dst_slots.reshape(-1) + w0 * plan.s_tile
+        mask = cp.mask.reshape(-1)
+        lg = jax.nn.leaky_relu(
+            alpha_src[sflat] + a_dst_pad[dglob], negative_slope
+        )
+        att = (
+            jnp.exp(lg - m_pad[dglob])
+            / jnp.maximum(s_pad[dglob], 1e-16)
+            * mask[:, None].astype(lg.dtype)
+        )
+        vals = _gated(xflat, token)[sflat]
+        out = _make_mh_slot(use_p, D)(vals, att.astype(vals.dtype), cp)
+        return out[: cp.num_segments]
+
+    out = _plan_sum_chunked(plan, run_one)
+    return out[:n_nodes].reshape(n_nodes, H, D)
 
 
 def segment_softmax(

@@ -1,19 +1,32 @@
-"""Offline tile-shape sweep → measured lookup table.
+"""Offline tile-shape sweep → measured lookup table + tuning artifacts.
 
 The TPU analogue of GeoT's autotuning pipeline (SURVEY §2.5): where the
 reference sweeps CUDA template configs over .npy index datasets
 (`benchmark/benchmark_cpp/benchmark_kernel.cu`), filters the argmax-GFLOPS
 rows and fits a decision tree codegen'd to C++
-(`data/process/dtregression.py:26-343`), this sweeps SegmentPlan tile
+(`data/process/dtregression.py:26-343`), this sweeps Pallas tile
 shapes on the actual device, correctness-checks each config against the
 XLA reference (the analogue of the sweep's per-config check,
 `benchmark/benchmark_cpp/include/util.cuh:67-73`), and writes the winners
-to a JSON table keyed by log2 buckets of (feature_size, nnz, avg) — the
-same feature triple the reference trees split on. `heuristics.select_config`
-consults the table before its analytic fallback.
+to a JSON table keyed by `op:` + log2 buckets of (feature_size, nnz, avg)
+— the same feature triple the reference trees split on, with one table
+family per op (`spmm` static weights / `spmm_dyn` per-call weights /
+`index_scatter`). `heuristics.select_config` consults the table before its
+analytic fallback.
 
-Run:  python -m geot_tpu.tuning.sweep --datasets cora ogbn-arxiv \
-          --features 32 64 128 --out geot_tpu/tuning/table.json
+One sweep run also emits the reference's tuning-validation artifacts:
+  - results/tuning_ablation.csv — table-selected vs exhaustive-best vs
+    analytic-heuristic time per (graph, op, N): the exp2 rule-quality
+    ablation (`artifact/exp2/query_rule.py:30-50`).
+  - results/config_sensitivity.csv — per-config times over the
+    (mode, e_tile, s_tile) grid: the exp6 sensitivity heatmap data
+    (`artifact/exp6/heatmap.py:7-24`).
+
+Index-distribution augmentation (`tuning.augment`, the analogue of
+`data/augment_dataset.py`) widens bucket coverage via --augment.
+
+Run:  python -m geot_tpu.tuning.sweep --datasets pubmed ogbn-arxiv \
+          --features 32 128 --augment --out geot_tpu/tuning/table.json
 """
 
 from __future__ import annotations
@@ -27,19 +40,64 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from geot_tpu.tuning.heuristics import KernelConfig, _bucket
+from geot_tpu.tuning.heuristics import KernelConfig, bucket_key, select_config
 
-# SR space: edge tile × output window × feature tile; PR space: edge tile ×
-# window (feature tile fixed by layout). Mirrors the reference sweep spaces
-# (`benchmark/benchmark_cpp/include/codegen.py:25-78`) scaled to TPU tiles.
-SR_SPACE = [
-    KernelConfig("sr", e, s, f)
-    for e, s, f in itertools.product((128, 256, 512), (128, 256, 512), (128, 256))
-]
-PR_SPACE = [
-    KernelConfig("pr", e, s, 128)
-    for e, s in itertools.product((128, 256, 512), (128, 256))
-]
+OPS = ("spmm", "spmm_dyn", "index_scatter")
+
+
+def config_space(op: str, n_features: int) -> List[KernelConfig]:
+    """Candidate tile configs for one op family at one feature size.
+
+    BAT (block-aligned tiles, v3 kernels) is the production layout; the
+    packed variant places 128//N edge groups per lane row for narrow
+    features. A small legacy slot-SR slice stays in the space as a
+    cross-check (it also exercises the fallback path the sweep table can
+    still select). Mirrors the reference sweep spaces
+    (`benchmark/benchmark_cpp/include/codegen.py:25-78`) scaled to TPU
+    tiles.
+    """
+    space = [
+        KernelConfig("bat", e, s, 128)
+        for e, s in itertools.product((512, 1024), (128, 256))
+    ]
+    if n_features <= 64:
+        space += [
+            KernelConfig("bat_packed", e, s, 128)
+            for e, s in itertools.product((256, 512, 1024), (128, 256))
+        ]
+    space += [
+        KernelConfig("sr", e, s, 128)
+        for e, s in itertools.product((256, 512), (128, 256))
+    ]
+    return space
+
+
+def _build_for_config(
+    cfg: KernelConfig,
+    src: np.ndarray,
+    dst: np.ndarray,
+    n_nodes: int,
+    n_features: int,
+    w: Optional[np.ndarray],
+):
+    """Graph forced onto cfg's layout. BAT modes pin the BatPlan tiles
+    (packed iff the mode says so); legacy 'sr' drops the BAT plans so the
+    dispatcher takes the slot path."""
+    from geot_tpu.graph.structures import build_graph
+
+    if cfg.mode in ("bat", "bat_packed"):
+        hint = n_features if cfg.mode == "bat_packed" else 128
+        return build_graph(
+            src, dst, n_nodes, edge_weight=w,
+            e_tile=512, s_tile=256,
+            bat_e_tile=cfg.e_tile, bat_s_tile=cfg.s_tile,
+            feature_hint=hint,
+        )
+    g = build_graph(
+        src, dst, n_nodes, edge_weight=w,
+        e_tile=cfg.e_tile, s_tile=cfg.s_tile, feature_hint=n_features,
+    )
+    return dataclasses.replace(g, bat=None, bat_t=None)
 
 
 def measure_config(
@@ -49,87 +107,148 @@ def measure_config(
     n_nodes: int,
     n_features: int,
     *,
+    op: str = "spmm",
     iters: int = 30,
     check: bool = True,
 ) -> Optional[float]:
-    """Seconds per fused weighted-SpMM call under `cfg`, or None if the
-    config fails to build/run or miscompares."""
+    """Seconds per call for `op` under `cfg`, or None if the config fails
+    to build/run or miscompares (the −1 of the reference's per-config
+    check)."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
-    from geot_tpu.graph.structures import build_graph
     from geot_tpu.ops import api as ops
     from geot_tpu.ops import reference as ref
     from geot_tpu.utils.timing import timeit
 
-    if cfg.mode == "pr" and n_features > 64:
+    if cfg.mode == "bat_packed" and n_features > 64:
         return None
+    if cfg.mode == "pr":
+        return None  # retired layout (round-1: 4x slower than packed)
     rng = np.random.default_rng(0)
     w = rng.standard_normal(len(src)).astype(np.float32)
     try:
-        g = build_graph(
-            src, dst, n_nodes, edge_weight=w, e_tile=cfg.e_tile, s_tile=cfg.s_tile
-        )
-        # force the swept layout through the plan's mode hint
-        g = dataclasses.replace(
-            g,
-            plan=dataclasses.replace(g.plan, mode_hint=cfg.mode),
-            plan_t=dataclasses.replace(g.plan_t, mode_hint=cfg.mode),
+        g = _build_for_config(
+            cfg, src, dst, n_nodes, n_features,
+            w if op == "spmm" else None,
         )
         x = jnp.asarray(
             rng.standard_normal((n_nodes, n_features)).astype(np.float32)
         )
-        import functools
-
-        # graph passed as a jit argument (not a closure constant)
-        fn = functools.partial(
-            jax.jit(lambda gg, x: ops.segment_spmm(gg, x, backend="pallas")), g
-        )
-        out = fn(x)
-        if check:
-            expect = ref.gather_weight_scatter_ref(
-                g.src, g.dst, g.edge_weight, x, n_nodes
+        if op == "spmm":
+            fn = functools.partial(
+                jax.jit(
+                    lambda gg, x: ops.segment_spmm(gg, x, backend="pallas")
+                ),
+                g,
             )
+            args = (x,)
+        elif op == "spmm_dyn":
+            wj = jnp.asarray(w)
+            fn = functools.partial(
+                jax.jit(
+                    lambda gg, x, w: ops.segment_spmm(
+                        gg, x, w, backend="pallas"
+                    )
+                ),
+                g,
+            )
+            args = (x, wj)
+        elif op == "index_scatter":
+            # vals in (dst-sorted) edge order — the op's own input order
+            vals = jnp.asarray(
+                rng.standard_normal((len(g.src), n_features)).astype(
+                    np.float32
+                )
+            )
+            plan = g.bat if g.bat is not None else g.plan
+            fn = functools.partial(
+                jax.jit(
+                    lambda pp, dd, v: ops.index_scatter(
+                        v, dd, n_nodes, plan=pp, backend="pallas"
+                    )
+                ),
+                plan,
+                g.dst,
+            )
+            args = (vals,)
+        else:
+            raise ValueError(op)
+        out = fn(*args)
+        if check:
+            if op == "spmm":
+                expect = ref.gather_weight_scatter_ref(
+                    g.src, g.dst, g.edge_weight, x, n_nodes
+                )
+            elif op == "spmm_dyn":
+                expect = ref.gather_weight_scatter_ref(
+                    g.src, g.dst, args[1], x, n_nodes
+                )
+            else:
+                expect = ref.segment_reduce_ref(args[0], g.dst, n_nodes, "sum")
             m = float(jnp.max(jnp.abs(out - expect)))
             scale = float(jnp.max(jnp.abs(expect))) + 1e-6
             if not np.isfinite(m) or m > 1e-2 * scale + 1e-3:
-                return None  # reject miscompiling config (−1 in the reference)
-        return timeit(fn, x, warmup=3, iters=iters)
+                return None
+        return timeit(fn, *args, warmup=3, iters=iters)
     except Exception:
         return None
 
 
+@dataclasses.dataclass
+class SweepRow:
+    dataset: str
+    op: str
+    n_features: int
+    cfg: KernelConfig
+    seconds: float
+    nnz: int = 0
+    n_nodes: int = 0
+
+
 def sweep_graph(
+    name: str,
     src: np.ndarray,
     dst: np.ndarray,
     n_nodes: int,
     features: List[int],
     *,
+    ops: Tuple[str, ...] = OPS,
     iters: int = 30,
     verbose: bool = True,
     out_path: Optional[str] = None,
-) -> Dict[str, Tuple[KernelConfig, float]]:
-    """Best config per feature size for one graph. Returns
-    {bucket_key: (config, seconds)}."""
+) -> Tuple[Dict[str, Tuple[KernelConfig, float]], List[SweepRow]]:
+    """Best config per (op, bucket) for one graph + every measured row.
+    Returns ({table_key: (config, seconds)}, rows)."""
     nnz = len(src)
-    avg = nnz / max(n_nodes, 1)
     best: Dict[str, Tuple[KernelConfig, float]] = {}
-    for n_feat in features:
-        space = SR_SPACE + (PR_SPACE if n_feat <= 64 else [])
-        k = f"{_bucket(max(n_feat,1))}:{_bucket(max(nnz,1))}:{_bucket(max(avg,1.0))}"
-        for cfg in space:
-            t = measure_config(cfg, src, dst, n_nodes, n_feat, iters=iters)
-            if t is None:
-                continue
-            if k not in best or t < best[k][1]:
-                best[k] = (cfg, t)
-            if verbose:
-                print(f"N={n_feat} {cfg.key()}: {t*1e3:.3f} ms")
-        if verbose and k in best:
-            print(f"--> N={n_feat} best: {best[k][0].key()} {best[k][1]*1e3:.3f} ms")
-        if out_path and k in best:
-            write_table({k: best[k]}, out_path)  # incremental: survive kills
-    return best
+    rows: List[SweepRow] = []
+    for op in ops:
+        for n_feat in features:
+            kb = f"{op}:{bucket_key(n_feat, nnz, n_nodes)}"
+            for cfg in config_space(op, n_feat):
+                t = measure_config(
+                    cfg, src, dst, n_nodes, n_feat, op=op, iters=iters
+                )
+                if t is None:
+                    continue
+                rows.append(SweepRow(name, op, n_feat, cfg, t, nnz, n_nodes))
+                if kb not in best or t < best[kb][1]:
+                    best[kb] = (cfg, t)
+                if verbose:
+                    print(f"{name} {op} N={n_feat} {cfg.key()}: {t*1e3:.3f} ms",
+                          flush=True)
+            if verbose and kb in best:
+                print(
+                    f"--> {name} {op} N={n_feat} best: "
+                    f"{best[kb][0].key()} {best[kb][1]*1e3:.3f} ms",
+                    flush=True,
+                )
+            if out_path and kb in best:
+                write_table({kb: best[kb]}, out_path)  # survive kills
+    return best, rows
 
 
 def write_table(
@@ -148,31 +267,117 @@ def write_table(
         json.dump(table, f, indent=1, sort_keys=True)
 
 
+def write_artifacts(rows: List[SweepRow], results_dir: str) -> None:
+    """Emit the exp2-style rule-quality ablation and the exp6-style
+    config-sensitivity data from the sweep's measurements."""
+    os.makedirs(results_dir, exist_ok=True)
+    sens = os.path.join(results_dir, "config_sensitivity.csv")
+    new = not os.path.exists(sens)
+    with open(sens, "a") as f:
+        if new:
+            f.write("dataset,op,n_features,mode,e_tile,s_tile,f_tile,ms\n")
+        for r in rows:
+            f.write(
+                f"{r.dataset},{r.op},{r.n_features},{r.cfg.mode},"
+                f"{r.cfg.e_tile},{r.cfg.s_tile},{r.cfg.f_tile},"
+                f"{r.seconds*1e3:.4f}\n"
+            )
+    # ablation: heuristic pick vs exhaustive best vs worst, per (graph,op,N)
+    abl = os.path.join(results_dir, "tuning_ablation.csv")
+    new = not os.path.exists(abl)
+    groups: Dict[Tuple[str, str, int], List[SweepRow]] = {}
+    for r in rows:
+        groups.setdefault((r.dataset, r.op, r.n_features), []).append(r)
+    with open(abl, "a") as f:
+        if new:
+            f.write(
+                "dataset,op,n_features,best_cfg,best_ms,heuristic_cfg,"
+                "heuristic_ms,worst_ms,heuristic_vs_best\n"
+            )
+        import geot_tpu.tuning.heuristics as H
+
+        for (ds, op, nf), rs in groups.items():
+            rs.sort(key=lambda r: r.seconds)
+            bestr, worst = rs[0], rs[-1]
+            # analytic heuristic = select_config with an EMPTY table (the
+            # naive-rule arm of the reference ablation,
+            # `csrc/cuda/wrapper/index_scatter_rule_naive.h:4-41`)
+            cache, H._table_cache = H._table_cache, {}
+            try:
+                hcfg = select_config(nf, rs[0].nnz, rs[0].n_nodes, op=op)
+            finally:
+                H._table_cache = cache
+            hrow = min(
+                (r for r in rs if r.cfg == hcfg),
+                default=bestr,
+                key=lambda r: r.seconds,
+            )
+            f.write(
+                f"{ds},{op},{nf},{bestr.cfg.key()},{bestr.seconds*1e3:.4f},"
+                f"{hcfg.key()},{hrow.seconds*1e3:.4f},"
+                f"{worst.seconds*1e3:.4f},"
+                f"{hrow.seconds/max(bestr.seconds,1e-12):.4f}\n"
+            )
+
+
 def main() -> None:
     from geot_tpu.graph.datasets import DATASET_SHAPES, synthetic_graph
+    from geot_tpu.tuning.augment import augment_sorted_index
 
     p = argparse.ArgumentParser()
-    p.add_argument("--datasets", nargs="+", default=["cora", "ogbn-arxiv"])
-    p.add_argument("--features", nargs="+", type=int, default=[32, 64, 128])
+    p.add_argument("--datasets", nargs="+", default=["pubmed", "ogbn-arxiv"])
+    p.add_argument("--features", nargs="+", type=int, default=[32, 128])
+    p.add_argument("--ops", nargs="+", default=list(OPS))
     p.add_argument("--iters", type=int, default=30)
+    p.add_argument(
+        "--augment",
+        action="store_true",
+        help="also sweep index augmentations (index_scatter family) — the "
+        "reference's training-data augmentation (`data/augment_dataset.py`)",
+    )
     p.add_argument(
         "--out",
         default=os.path.join(os.path.dirname(__file__), "table.json"),
     )
+    p.add_argument("--results-dir", default="results")
     args = p.parse_args()
     merged: Dict[str, Tuple[KernelConfig, float]] = {}
+    all_rows: List[SweepRow] = []
     for name in args.datasets:
         n, e, _, _ = DATASET_SHAPES[name]
         d = synthetic_graph(n, e, power=1.0, seed=0)
-        print(f"== {name}: {n} nodes, {e} edges")
-        res = sweep_graph(
-            d.src, d.dst, n, args.features, iters=args.iters, out_path=args.out
+        print(f"== {name}: {n} nodes, {e} edges", flush=True)
+        res, rows = sweep_graph(
+            name, d.src, d.dst, n, args.features,
+            ops=tuple(args.ops), iters=args.iters, out_path=args.out,
         )
+        all_rows += rows
         for k, v in res.items():
             if k not in merged or v[1] < merged[k][1]:
                 merged[k] = v
+        if args.augment and "index_scatter" in args.ops:
+            rng = np.random.default_rng(1)
+            dst_sorted = np.sort(d.dst)
+            for tag, idx in augment_sorted_index(dst_sorted):
+                aname = f"{name}+{tag}"
+                asrc = rng.integers(0, n, len(idx)).astype(np.int32)
+                print(f"== {aname}: {len(idx)} edges", flush=True)
+                res, rows = sweep_graph(
+                    aname, asrc, idx.astype(np.int32), n, args.features,
+                    ops=("index_scatter",), iters=args.iters,
+                    out_path=args.out,
+                )
+                all_rows += rows
+                for k, v in res.items():
+                    if k not in merged or v[1] < merged[k][1]:
+                        merged[k] = v
     write_table(merged, args.out)
-    print(f"table written to {args.out} ({len(merged)} new/updated keys)")
+    write_artifacts(all_rows, args.results_dir)
+    print(
+        f"table written to {args.out} ({len(merged)} new/updated keys); "
+        f"artifacts in {args.results_dir}/",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":

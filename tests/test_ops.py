@@ -533,3 +533,76 @@ def test_dynamic_weight_grad_uses_precomposed_transpose():
     gw_ref = np.sum(np.asarray(co)[dst_s] * np.asarray(x)[src_s], axis=1)
     np.testing.assert_allclose(np.asarray(gx), gx_ref, rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(gw), gw_ref, rtol=1e-3, atol=1e-3)
+
+
+def test_mh_and_gat_chunked_match_unchunked():
+    """Chunk-streamed multi-head paths (mh_spmm slot gather and the fused
+    GAT attention) ≡ their single-shot results — the reddit2-scale OOM fix:
+    only one chunk's [chunk_slots, H*D] gather is live at a time."""
+    import dataclasses
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from geot_tpu.graph.plan import compute_chunks
+    from geot_tpu.models.conv import prepare_graph
+    from geot_tpu.ops import api as ops
+
+    rng = np.random.default_rng(81)
+    n, e, H, D = 120, 900, 4, 8
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = rng.integers(0, n, e).astype(np.int32)
+    g = prepare_graph(src, dst, n, add_self_loops=True, e_tile=64, s_tile=64)
+    ch = compute_chunks(np.asarray(g.plan.out_block), 3)
+    assert len(ch) > 2
+    g2 = dataclasses.replace(
+        g,
+        plan=dataclasses.replace(g.plan, chunks=ch),
+        plan_t=dataclasses.replace(
+            g.plan_t, chunks=compute_chunks(np.asarray(g.plan_t.out_block), 3)
+        ),
+    )
+    xh = jnp.asarray(rng.standard_normal((n, H, D)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((len(g.src), H)).astype(np.float32))
+
+    # mh_spmm fwd + grad
+    import geot_tpu
+
+    a = geot_tpu.mh_spmm(g.src, g.dst, w, xh, n, graph=g, backend="pallas")
+    b = geot_tpu.mh_spmm(g.src, g.dst, w, xh, n, graph=g2, backend="pallas")
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-4)
+    co = jnp.asarray(rng.standard_normal(a.shape).astype(np.float32))
+    ga = jax.grad(
+        lambda xx: jnp.vdot(
+            geot_tpu.mh_spmm(g.src, g.dst, w, xx, n, graph=g, backend="pallas"), co
+        )
+    )(xh)
+    gb = jax.grad(
+        lambda xx: jnp.vdot(
+            geot_tpu.mh_spmm(g.src, g.dst, w, xx, n, graph=g2, backend="pallas"), co
+        )
+    )(xh)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(ga), rtol=1e-3, atol=1e-4)
+
+    # fused GAT attention fwd + grad
+    a_s = jnp.asarray(0.3 * rng.standard_normal((n, H)).astype(np.float32))
+    a_d = jnp.asarray(0.3 * rng.standard_normal((n, H)).astype(np.float32))
+    oa = ops.gat_attention_spmm(g, xh, a_s, a_d, backend="pallas")
+    ob = ops.gat_attention_spmm(g2, xh, a_s, a_d, backend="pallas")
+    np.testing.assert_allclose(np.asarray(ob), np.asarray(oa), rtol=1e-4, atol=1e-4)
+    co2 = jnp.asarray(rng.standard_normal(oa.shape).astype(np.float32))
+    ga = jax.grad(
+        lambda *args: jnp.vdot(
+            ops.gat_attention_spmm(g, *args, backend="pallas"), co2
+        ),
+        argnums=(0, 1, 2),
+    )(xh, a_s, a_d)
+    gb = jax.grad(
+        lambda *args: jnp.vdot(
+            ops.gat_attention_spmm(g2, *args, backend="pallas"), co2
+        ),
+        argnums=(0, 1, 2),
+    )(xh, a_s, a_d)
+    for x1, x2 in zip(ga, gb):
+        np.testing.assert_allclose(
+            np.asarray(x2), np.asarray(x1), rtol=1e-3, atol=1e-4
+        )
