@@ -44,7 +44,7 @@ def run(args) -> None:
     from geot_tpu.models.conv import prepare_graph
     from geot_tpu.ops import api as ops
     from geot_tpu.ops import reference as ref
-    from geot_tpu.utils.roofline import spmm_bytes
+    from geot_tpu.utils.roofline import sddmm_bytes, spmm_bytes
     from geot_tpu.utils.timing import timeit
 
     on_accel = jax.default_backend() != "cpu"
@@ -55,11 +55,25 @@ def run(args) -> None:
             print(f"skip {name} ({n_edges} edges > --max-edges)")
             continue
         d = synthetic_graph(n_nodes, n_edges, power=1.0, seed=0)
-        g = prepare_graph(d.src, d.dst, n_nodes, add_self_loops=False)
         dst_sorted = np.sort(d.dst)
         rng = np.random.default_rng(0)
-        w = jnp.asarray(rng.standard_normal(g.num_edges).astype(np.float32))
+        graphs: dict = {}
+
+        def graph_for(n_feat: int):
+            # one graph per feature LAYOUT: narrow features get packed BAT
+            # tiles (128//N edge groups per lane row) — the layout is set by
+            # feature_hint at build, as a real caller would
+            hint = n_feat if n_feat <= 64 else 128
+            if hint not in graphs:
+                graphs[hint] = prepare_graph(
+                    d.src, d.dst, n_nodes, add_self_loops=False,
+                    feature_hint=hint,
+                )
+            return graphs[hint]
+
+        w = jnp.asarray(rng.standard_normal(len(d.src)).astype(np.float32))
         for n_feat in args.features:
+            g = graph_for(n_feat)
             x = jnp.asarray(
                 rng.standard_normal((n_nodes, n_feat)).astype(np.float32)
             )
@@ -93,9 +107,32 @@ def run(args) -> None:
                     ),
                     "args": (x, w),
                 }
+            elif args.op == "sddmm":
+                # SDDMM under the reference's convention
+                # (`test/test_sddmm.py:30-47`): per-edge dot of gathered
+                # a[dst[e]]·b[src[e]] — measured as XLA's fused
+                # gather+mul+rowsum (geot's production path) vs a
+                # barrier-split unfused version (gathers materialized)
+                a = jnp.asarray(
+                    rng.standard_normal((n_nodes, n_feat)).astype(np.float32)
+                )
+
+                def _unfused(a, b):
+                    ga, gb = jax.lax.optimization_barrier(
+                        (a[g.dst], b[g.src])
+                    )
+                    return jnp.sum(ga * gb, axis=-1)
+
+                variants = {
+                    "geot_xla_fused": jax.jit(
+                        lambda a, b: ops.sddmm_coo(g.src, g.dst, a, b)
+                    ),
+                    "xla_unfused": jax.jit(_unfused),
+                    "args": (a, x),
+                }
             else:  # index_scatter
                 idx = jnp.asarray(dst_sorted)
-                plan = g.plan
+                plan = g.bat if g.bat is not None else g.plan
                 variants = {
                     "geot_pallas" if on_accel else "geot_interpret": jax.jit(
                         lambda v: ops.index_scatter(
@@ -122,9 +159,12 @@ def run(args) -> None:
                 except Exception as exc:  # keep sweeping
                     print(f"{name} N={n_feat} {vname}: FAILED {exc}")
                     continue
-                gbps = (
-                    spmm_bytes(g.num_edges, n_feat, n_nodes, n_nodes) / t / 1e9
+                sol = (
+                    sddmm_bytes(g.num_edges, n_feat)
+                    if args.op == "sddmm"
+                    else spmm_bytes(g.num_edges, n_feat, n_nodes, n_nodes)
                 )
+                gbps = sol / t / 1e9
                 rows.append(
                     dict(
                         dataset=name,
@@ -149,7 +189,9 @@ def run(args) -> None:
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--op", choices=["spmm", "index_scatter"], default="spmm")
+    p.add_argument(
+        "--op", choices=["spmm", "index_scatter", "sddmm"], default="spmm"
+    )
     p.add_argument("--datasets", nargs="+", default=DEFAULT_DATASETS)
     p.add_argument("--features", nargs="+", type=int, default=DEFAULT_FEATURES)
     p.add_argument("--iters", type=int, default=50)

@@ -17,6 +17,7 @@ here, amortized like the rest of the plan.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -24,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from geot_tpu.graph.plan import (
+    MAX_PREFETCH_TILES,
     BatPlan,
     SegmentPlan,
     build_segment_plan_host,
@@ -192,10 +194,17 @@ def build_graph(
             1024 if (nw == 0 and e_tile * 2 <= 1024) else e_tile
         )
         bat_s = bat_s_tile or s_tile
+        # chunk cap by GATHER BYTES, not just the SMEM tile cap: a chunk
+        # materializes [tiles*e_tile, feature] f32 and depth-2 pipelining
+        # keeps two live — at the SMEM cap (8192×1024 edges, N=128) that's
+        # 2×4.3 GB and products-scale graphs OOM a 16 GB chip.
+        row_b = max(feature_hint if feature_hint else 128, 1) * 4
+        budget = int(os.environ.get("GEOT_MAX_CHUNK_BYTES", 1 << 30))
+        mct = max(min(MAX_PREFETCH_TILES, budget // (row_b * bat_e)), 1)
         bat = build_bat_plan(dst, num_nodes, e_tile=bat_e, s_tile=bat_s,
-                             km_pack=km_pack)
+                             km_pack=km_pack, max_chunk_tiles=mct)
         bat_t = build_bat_plan(src_t, num_nodes, e_tile=bat_e, s_tile=bat_s,
-                               km_pack=km_pack)
+                               km_pack=km_pack, max_chunk_tiles=mct)
     return Graph(
         src=jnp.asarray(src),
         dst=jnp.asarray(dst),

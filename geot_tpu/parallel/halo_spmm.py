@@ -152,7 +152,8 @@ def halo_spmm(
     )
     def fwd_local(x_local, pg_local):
         # x_local: [nodes_per_part, F]
-        plan = _unbatch_plan(pg_local.plan)
+        plan_b = _unbatch_plan(pg_local.plan)
+        plan_i = _unbatch_plan(pg_local.plan_int)
         send_idx = pg_local.send_idx[0]  # [P, H]
         send_mask = pg_local.send_mask[0]  # [P, H]
         send_buf = x_local[jnp.minimum(send_idx, x_local.shape[0] - 1)]
@@ -160,8 +161,13 @@ def halo_spmm(
         recv = jax.lax.all_to_all(
             send_buf, axis, split_axis=0, concat_axis=0, tiled=True
         )  # [P, H, F] — recv[q, i] = row i sent by part q
+        # interior reduce is independent of the exchange — XLA's async
+        # collective scheduling runs the all-to-all concurrently with it
+        # (the SURVEY §2.7 comm/compute overlap)
+        out_i = _local_reduce(plan_i, x_local, pg_local.w_int[0], use_pallas)
         recv = recv.reshape(-1, recv.shape[-1])  # [P*H, F]
-        return _local_reduce(plan, recv, pg_local.w_slots[0], use_pallas)
+        out_b = _local_reduce(plan_b, recv, pg_local.w_slots[0], use_pallas)
+        return out_i + out_b
 
     @functools.partial(
         shard_map,
@@ -173,18 +179,23 @@ def halo_spmm(
     def bwd_local(g_local, pg_local):
         # g_local: [nodes_per_part, F] — incoming cotangent of the output.
         plan_t = _unbatch_plan(pg_local.plan_t)
-        # partial gradient per receive-buffer position: [P*H, F]
+        plan_it = _unbatch_plan(pg_local.plan_int_t)
+        # boundary partials per receive-buffer position: [P*H, F]
         h = _local_reduce(plan_t, g_local, pg_local.w_slots_t[0], use_pallas)
         # return each partial to the part that owns the row (reverse exchange)
         h = h.reshape(pg_local.send_idx.shape[1], pg_local.halo, -1)  # [P, H, F]
         back = jax.lax.all_to_all(
             h, axis, split_axis=0, concat_axis=0, tiled=True
         )  # [P, H, F] — back[q, i] = grad for my send slot i, from part q
+        # interior gradient overlaps the reverse exchange (independent)
+        g_int = _local_reduce(
+            plan_it, g_local, pg_local.w_int_t[0], use_pallas
+        )
         back = back.reshape(-1, back.shape[-1])  # [P*H, F]
         send_idx = pg_local.send_idx[0].reshape(-1)  # [P*H]
         npp = pg_local.nodes_per_part
         return (
-            jnp.zeros((npp, g_local.shape[1]), jnp.float32)
+            g_int.astype(jnp.float32)
             .at[send_idx]
             .add(back.astype(jnp.float32), mode="drop")
             .astype(g_local.dtype)

@@ -95,23 +95,37 @@ def _pad_plan_tiles(plan: SegmentPlan, num_tiles: int, n_blocks: int) -> Segment
 class PartitionedGraph:
     """Per-part plans + halo schedule, array fields batched over parts.
 
-    plan:   forward SegmentPlan; src_slots hold *receive-buffer positions*
-            (q*H + i), dst_slots hold part-local destinations.
-    plan_t: transpose plan grouping local edges by receive-buffer position
-            (drives the backward scatter of gradients to feature owners).
-    send_idx:  [P, P, H] int32 — local row sent to peer q, slot i (npp = drop).
+    Edges are split at partition time into INTERIOR (source owned by the
+    same part — reduced straight from the local feature shard, no
+    communication) and BOUNDARY (remote source — reduced from the halo
+    receive buffer). The split is what lets `halo_spmm` overlap the
+    all-to-all with the interior reduction (SURVEY §2.7 north star):
+    the interior kernel has no data dependence on the exchange.
+
+    plan:     boundary forward SegmentPlan; src_slots hold *receive-buffer
+              positions* (q*H + i), dst_slots hold part-local destinations.
+    plan_t:   transpose plan grouping boundary edges by receive-buffer
+              position (backward scatter of gradients to feature owners).
+    plan_int: interior forward plan; src_slots hold part-local rows.
+    plan_int_t: interior transpose plan (grouped by local source row).
+    send_idx:  [P, P, H] int32 — local row sent to peer q, slot i (npp =
+               drop); the diagonal (q == p) is empty — interior rows never
+               ride the exchange.
     send_mask: [P, P, H] float32 — 1.0 where the slot is a real row.
-    w_slots:   [P, T, e_tile] float32 — per-slot edge weight (mask included),
-               forward slot order.
-    w_slots_t: [P, T_t, e_tile] — same, transpose slot order.
+    w_slots / w_slots_t:   [P, T, e_tile] boundary slot weights.
+    w_int / w_int_t:       [P, T, e_tile] interior slot weights.
     """
 
     plan: SegmentPlan
     plan_t: SegmentPlan
+    plan_int: SegmentPlan
+    plan_int_t: SegmentPlan
     send_idx: jax.Array
     send_mask: jax.Array
     w_slots: jax.Array
     w_slots_t: jax.Array
+    w_int: jax.Array
+    w_int_t: jax.Array
     num_parts: int = dataclasses.field(metadata=dict(static=True))
     nodes_per_part: int = dataclasses.field(metadata=dict(static=True))
     halo: int = dataclasses.field(metadata=dict(static=True))
@@ -175,17 +189,27 @@ def partition_graph(
     bounds = np.searchsorted(dst, starts)
     owner_of = np.searchsorted(starts, np.arange(num_nodes), side="right") - 1
 
-    # halo schedule: unique sources each part needs from each owner
+    # halo schedule: unique REMOTE sources each part needs from each owner;
+    # interior edges (source owned locally) bypass the exchange entirely
     send_lists = [[[] for _ in range(P)] for _ in range(P)]  # [owner][dest_part]
-    recv_pos_parts = []
-    local_dst_parts = []
-    w_parts = []
+    recv_pos_parts = []  # boundary edges: (owner, slot) per edge
+    bnd_dst_parts = []
+    int_src_parts = []
+    int_dst_parts = []
+    w_bnd_parts = []
+    w_int_parts = []
     for p in range(P):
         lo, hi = bounds[p], bounds[p + 1]
         s_p, d_p = src[lo:hi], dst[lo:hi]
         w_p = None if w is None else w[lo:hi]
-        # unique (owner, local_src) pairs → slot within that owner's send list
-        uniq, inv = np.unique(s_p, return_inverse=True)
+        is_int = owner_of[s_p] == p if len(s_p) else np.zeros(0, bool)
+        int_src_parts.append(s_p[is_int] - starts[p])
+        int_dst_parts.append(d_p[is_int] - starts[p])
+        w_int_parts.append(None if w_p is None else w_p[is_int])
+        s_b, d_b = s_p[~is_int], d_p[~is_int]
+        w_b = None if w_p is None else w_p[~is_int]
+        # unique (owner, remote_src) pairs → slot within that owner's list
+        uniq, inv = np.unique(s_b, return_inverse=True)
         uo = owner_of[uniq]
         slot_of_uniq = np.empty(len(uniq), np.int64)
         for q in range(P):
@@ -193,8 +217,8 @@ def partition_graph(
             slot_of_uniq[sel] = np.arange(len(sel))
             send_lists[q][p] = (uniq[sel] - starts[q]).astype(np.int64)
         recv_pos_parts.append((uo[inv], slot_of_uniq[inv]))
-        local_dst_parts.append(d_p - starts[p])
-        w_parts.append(w_p)
+        bnd_dst_parts.append(d_b - starts[p])
+        w_bnd_parts.append(w_b)
 
     H = max(
         (len(send_lists[q][p]) for q in range(P) for p in range(P)), default=1
@@ -211,58 +235,90 @@ def partition_graph(
             send_idx[q, p, : len(lst)] = lst
             send_mask[q, p, : len(lst)] = 1.0
 
-    # per-part plans over (recv_pos → local dst)
-    halo_total = P * H
-    fwd_plans, bwd_plans = [], []
-    w_slot_parts, w_slot_t_parts = [], []
-    for p in range(P):
-        owner_q, slot = recv_pos_parts[p]
-        recv_pos = (owner_q * H + slot).astype(np.int64)
-        d_loc = local_dst_parts[p]
-        w_p = w_parts[p]
-        fwd = build_segment_plan(
-            d_loc, recv_pos, npp, e_tile=e_tile, s_tile=s_tile,
-            num_src_nodes=halo_total,
-        )
-        # transpose: group by recv_pos (backward scatters into the recv buffer)
-        tperm = np.argsort(recv_pos, kind="stable")
-        bwd = build_segment_plan(
-            recv_pos[tperm], d_loc[tperm], halo_total,
-            e_tile=e_tile, s_tile=s_tile, num_src_nodes=npp,
-        )
-        fwd_plans.append(fwd)
-        bwd_plans.append(bwd)
-        for plan, ww, out in (
-            (fwd, w_p, w_slot_parts),
-            (bwd, None if w_p is None else w_p[tperm], w_slot_t_parts),
-        ):
-            if ww is None:
-                out.append(np.asarray(plan.mask))
-            else:
-                ep = np.asarray(plan.edge_pos).reshape(-1)
-                ws = ww[np.minimum(ep, len(ww) - 1)].reshape(plan.mask.shape)
-                out.append(ws * np.asarray(plan.mask))
+    # shard_map runs ONE program on every part, so chunked streaming (whose
+    # chunk boundaries are per-part data) is unavailable here — the whole
+    # per-part plan must fit the SMEM scalar-prefetch budget. Auto-bump
+    # e_tile until it does (products/P=8 fits at e_tile=1024).
+    from geot_tpu.graph.plan import MAX_PREFETCH_TILES
 
-    T_f = max(p.num_tiles for p in fwd_plans)
-    T_b = max(p.num_tiles for p in bwd_plans)
-    nb_f = max(p.n_blocks for p in fwd_plans)
-    nb_b = max(p.n_blocks for p in bwd_plans)
-    fwd_plans = [_pad_plan_tiles(p, T_f, nb_f) for p in fwd_plans]
-    bwd_plans = [_pad_plan_tiles(p, T_b, nb_b) for p in bwd_plans]
-    w_slot_parts = [
-        np.pad(ws, ((0, T_f - ws.shape[0]), (0, 0))) for ws in w_slot_parts
+    max_edges = max(
+        (int(len(d)) for d in bnd_dst_parts + int_dst_parts), default=0
+    )
+    while _cdiv(max(max_edges, 1), e_tile) > MAX_PREFETCH_TILES:
+        if e_tile >= 4096:
+            raise ValueError(
+                f"part with {max_edges} edges exceeds the scalar-prefetch "
+                f"budget even at e_tile={e_tile}; use more parts"
+            )
+        e_tile *= 2
+
+    def _weights_for(plan, ww):
+        if ww is None or len(ww) == 0:
+            return np.asarray(plan.mask)
+        ep = np.asarray(plan.edge_pos).reshape(-1)
+        ws = ww[np.minimum(ep, len(ww) - 1)].reshape(plan.mask.shape)
+        return ws * np.asarray(plan.mask)
+
+    def _build_family(dst_parts, src_parts, w_parts_, num_seg, num_src):
+        """Per-part (fwd, bwd) plans + slot weights for one edge family,
+        padded to identical static shapes across parts."""
+        fwd_plans, bwd_plans, w_f, w_b = [], [], [], []
+        for p in range(P):
+            d_loc = dst_parts[p]
+            s_loc = src_parts[p]
+            w_p = w_parts_[p]
+            fwd = build_segment_plan(
+                d_loc, s_loc, num_seg, e_tile=e_tile, s_tile=s_tile,
+                num_src_nodes=num_src,
+            )
+            tperm = np.argsort(s_loc, kind="stable")
+            bwd = build_segment_plan(
+                s_loc[tperm], d_loc[tperm], num_src,
+                e_tile=e_tile, s_tile=s_tile, num_src_nodes=num_seg,
+            )
+            fwd_plans.append(fwd)
+            bwd_plans.append(bwd)
+            w_f.append(_weights_for(fwd, w_p))
+            w_b.append(
+                _weights_for(bwd, None if w_p is None else w_p[tperm])
+            )
+        T_f = max(p.num_tiles for p in fwd_plans)
+        T_b = max(p.num_tiles for p in bwd_plans)
+        nb_f = max(p.n_blocks for p in fwd_plans)
+        nb_b = max(p.n_blocks for p in bwd_plans)
+        fwd_plans = [_pad_plan_tiles(p, T_f, nb_f) for p in fwd_plans]
+        bwd_plans = [_pad_plan_tiles(p, T_b, nb_b) for p in bwd_plans]
+        w_f = [np.pad(ws, ((0, T_f - ws.shape[0]), (0, 0))) for ws in w_f]
+        w_b = [np.pad(ws, ((0, T_b - ws.shape[0]), (0, 0))) for ws in w_b]
+        return (
+            _stack_plans(fwd_plans, num_seg, nb_f, num_src),
+            _stack_plans(bwd_plans, num_src, nb_b, num_seg),
+            jnp.asarray(np.stack(w_f), dtype=jnp.float32),
+            jnp.asarray(np.stack(w_b), dtype=jnp.float32),
+        )
+
+    halo_total = P * H
+    recv_pos_arrs = [
+        (uo * H + slot).astype(np.int64) for uo, slot in recv_pos_parts
     ]
-    w_slot_t_parts = [
-        np.pad(ws, ((0, T_b - ws.shape[0]), (0, 0))) for ws in w_slot_t_parts
-    ]
+    plan_b, plan_b_t, w_bnd, w_bnd_t = _build_family(
+        bnd_dst_parts, recv_pos_arrs, w_bnd_parts, npp, halo_total
+    )
+    plan_i, plan_i_t, w_int, w_int_t = _build_family(
+        int_dst_parts, int_src_parts, w_int_parts, npp, npp
+    )
 
     return PartitionedGraph(
-        plan=_stack_plans(fwd_plans, npp, nb_f, halo_total),
-        plan_t=_stack_plans(bwd_plans, halo_total, nb_b, npp),
+        plan=plan_b,
+        plan_t=plan_b_t,
+        plan_int=plan_i,
+        plan_int_t=plan_i_t,
         send_idx=jnp.asarray(send_idx),
         send_mask=jnp.asarray(send_mask),
-        w_slots=jnp.asarray(np.stack(w_slot_parts), dtype=jnp.float32),
-        w_slots_t=jnp.asarray(np.stack(w_slot_t_parts), dtype=jnp.float32),
+        w_slots=w_bnd,
+        w_slots_t=w_bnd_t,
+        w_int=w_int,
+        w_int_t=w_int_t,
         num_parts=P,
         nodes_per_part=int(npp),
         halo=int(H),

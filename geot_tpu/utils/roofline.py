@@ -8,7 +8,12 @@ star is ≥80% of HBM roofline for Pallas SpMM.
 
 from __future__ import annotations
 
-__all__ = ["spmm_bytes", "hbm_bandwidth_gbps", "roofline_fraction"]
+__all__ = [
+    "spmm_bytes",
+    "sddmm_bytes",
+    "hbm_bandwidth_gbps",
+    "roofline_fraction",
+]
 
 # Published peak HBM bandwidth per chip (GB/s).
 _HBM_GBPS = {
@@ -58,6 +63,13 @@ def spmm_bytes(
     traffic += nnz * 4 * (2 if weighted else 1)  # indices (+ weights)
     traffic += num_segments * row_bytes  # output write
     return traffic
+
+
+def sddmm_bytes(nnz: int, n_features: int, dtype_bytes: int = 4) -> int:
+    """Minimum HBM traffic for out[e] = a[dst[e]] · b[src[e]] (COO SDDMM,
+    reference convention `test/test_sddmm.py:30-47`): two gathered rows per
+    edge, two index streams, one scalar write per edge."""
+    return nnz * (2 * n_features * dtype_bytes + 2 * 4 + dtype_bytes)
 
 
 def roofline_fraction(time_s: float, bytes_moved: int, device=None) -> float:

@@ -131,3 +131,36 @@ def test_partition_empty_parts():
     np.testing.assert_allclose(
         np.asarray(unblock_nodes(out, pg)), np.asarray(expect), rtol=1e-4, atol=1e-4
     )
+
+
+def test_interior_boundary_split():
+    """Edges whose source is locally owned bypass the exchange: the interior
+    plans carry them (comm/compute overlap, SURVEY §2.7), diagonal send
+    slots are empty, and interior+boundary edge counts sum to nnz."""
+    src, dst, w, x = _rand(7, n_nodes=120, n_edges=800)
+    n = x.shape[0]
+    P = 4
+    pg = partition_graph(src, dst, n, P, edge_weight=w, e_tile=64, s_tile=64)
+    starts = np.asarray(pg.part_start)
+    owner = np.searchsorted(starts, np.arange(n), side="right") - 1
+    n_int_expect = int(np.sum(owner[src] == owner[dst]))
+    mask_int = np.asarray(pg.plan_int.mask)  # [P, T, E]
+    mask_bnd = np.asarray(pg.plan.mask)
+    assert int(mask_int.sum()) == n_int_expect
+    assert int(mask_bnd.sum()) == len(src) - n_int_expect
+    assert n_int_expect > 0  # random graph: some sources are local
+    # diagonal send slots (self-sends) must be empty
+    sm = np.asarray(pg.send_mask)
+    for p in range(P):
+        assert sm[p, p].sum() == 0.0
+    # and the split result still matches the reference exactly
+    mesh = _mesh(P)
+    xp = jax.device_put(block_nodes(jnp.asarray(x), pg), node_sharding(mesh))
+    out = halo_spmm(xp, pg, mesh, backend="reference")
+    expect = ref.gather_weight_scatter_ref(
+        src, dst, jnp.asarray(w), jnp.asarray(x), n
+    )
+    np.testing.assert_allclose(
+        np.asarray(unblock_nodes(out, pg)), np.asarray(expect),
+        rtol=1e-4, atol=1e-4,
+    )
