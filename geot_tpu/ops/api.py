@@ -323,6 +323,12 @@ def _bat_sum(
     E = bp.e_tile
     nw = _packed_width(n)
     packed = bool(nw) and nw < 128 and bp.km_pack == (128 // nw) and bp.dst_km is not None
+    if not packed and len(bp.chunks) > 2:
+        # many chunks: lax.scan compiles the chunk body ONCE instead of
+        # unrolling it per chunk — at products scale (~30 chunks) the
+        # unrolled program took ~7 min to compile; the scan body is the
+        # same gather + BAT kernel + accumulate
+        return _bat_sum_scan(bp, vals_fn, n, w_edge)
 
     def run_one(cp, t0, t1, w0, token):
         if t0 == 0 and t1 == bp.num_tiles:
@@ -379,6 +385,88 @@ def _bat_sum(
         return out[: cpp.num_segments, :n]
 
     return _plan_sum_chunked(bp, run_one)
+
+
+def _bat_sum_scan(bp: BatPlan, vals_fn, n: int, w_edge: Optional[jax.Array]):
+    """Wide BAT segment sum with uniform chunks executed under `lax.scan`:
+    one compiled chunk body (gather → BAT kernel → accumulate-at-offset)
+    instead of an unrolled program per chunk. Chunk outputs overlap only on
+    hub-split windows and zero pad windows, so accumulating each chunk's
+    [W_c*s_tile, F] block into the carry at w0*s_tile is exact — the same
+    overlap-add stitch `_plan_sum_chunked` does by concatenation."""
+    import numpy as np
+
+    E, s = bp.e_tile, bp.s_tile
+    C = len(bp.chunks)
+    T_c = bp.chunks[0][1] - bp.chunks[0][0]
+    W_c = bp.chunk_blocks or max(w1 - w0 for _, _, w0, w1 in bp.chunks)
+    nblk = T_c + 1
+    f_tile = _pick_f_tile(n)
+    f_pad = _round_up(max(n, 1), f_tile)
+    assert all(t1 - t0 == T_c for t0, t1, _, _ in bp.chunks), "chunks not uniform"
+
+    ob2 = bp.out_block.reshape(C, T_c)
+    vb2 = bp.vblock.reshape(C, T_c)
+    vbase = vb2[:, 0]  # first tile of each chunk is real
+    w0s = jnp.asarray(np.asarray([c[2] for c in bp.chunks], np.int32))
+    vb_rel = jnp.where(vb2 >= bp.n_vblocks, nblk, vb2 - vbase[:, None])
+    ob_rel = ob2 - w0s[:, None]
+    # dst3 with nblk+1 sentinel blocks appended: any chunk's slice
+    # [vbase, vbase+nblk+1) then ends in -1 blocks
+    dst3_pad = jnp.pad(
+        bp.dst3[: bp.n_vblocks],
+        ((0, nblk + 1), (0, 0), (0, 0)),
+        constant_values=-1,
+    )
+    w_pad = None
+    if w_edge is not None:
+        w_pad = jnp.pad(w_edge, (0, nblk * E))
+
+    def body(carry, xs):
+        vb0, w0, w1, vb_i, ob_i = xs
+        dst3 = (
+            jax.lax.dynamic_slice_in_dim(dst3_pad, vb0, nblk + 1)
+            .at[nblk]
+            .set(-1)
+            - w0 * s
+        )
+        cpp = BatPlan(
+            out_block=ob_i,
+            vblock=vb_i,
+            dst3=dst3,
+            dst_km=None,
+            mask_km=None,
+            e_tile=E,
+            s_tile=s,
+            num_segments=W_c * s,
+            n_blocks=W_c,
+            num_edges=nblk * E,
+            n_vblocks=nblk,
+        )
+        v = vals_fn(vb0, nblk * E, None)
+        if f_pad != v.shape[1]:
+            v = jnp.pad(v, ((0, 0), (0, f_pad - v.shape[1])))
+        we = None
+        if w_pad is not None:
+            we = jax.lax.dynamic_slice_in_dim(w_pad, vb0 * E, nblk * E)
+        out_c = bat_segment_sum(cpp, v, we, f_tile=f_tile).astype(jnp.float32)
+        # rows past the chunk's REAL windows may be uninitialized kernel
+        # output (full chunks carry no coverage tile for pad windows) —
+        # the concat path trims them; here they must not reach the carry
+        rows = jax.lax.broadcasted_iota(jnp.int32, (W_c * s, 1), 0)
+        out_c = jnp.where(rows < (w1 - w0) * s, out_c, 0.0)
+        off = w0 * s
+        cur = jax.lax.dynamic_slice(carry, (off, 0), (W_c * s, f_pad))
+        return jax.lax.dynamic_update_slice(carry, cur + out_c, (off, 0)), None
+
+    # margin rows absorb trailing pad windows (w0 + W_c can pass n_blocks)
+    carry0 = jnp.zeros((bp.n_blocks * s + W_c * s, f_pad), jnp.float32)
+    w1s = jnp.asarray(np.asarray([c[3] for c in bp.chunks], np.int32))
+    out, _ = jax.lax.scan(body, carry0, (vbase, w0s, w1s, vb_rel, ob_rel))
+    dt = jax.eval_shape(
+        lambda: vals_fn(jnp.zeros((), jnp.int32), nblk * E, None)
+    ).dtype
+    return out[: bp.num_segments, :n].astype(dt)
 
 
 def _w_slots(
