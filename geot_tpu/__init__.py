@@ -15,6 +15,23 @@ Public op surface (parity with reference `geot/__init__.py:4-9,21`):
     mh_spmm, mh_spmm_transposed, coo_to_csr, sddmm_coo
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: TPU compiles of the chunked large-graph
+# programs take minutes (remote-compile tunnel); caching them across
+# processes turns repeat benchmark/training launches into seconds. Opt out
+# with GEOT_TPU_NO_COMPILE_CACHE=1 or by setting JAX_COMPILATION_CACHE_DIR.
+if not _os.environ.get("GEOT_TPU_NO_COMPILE_CACHE") and not _os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR"
+):
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.path.expanduser("~/.cache/geot_tpu/jax"),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 from geot_tpu.ops import (
     index_scatter,
     gather_scatter,

@@ -480,31 +480,42 @@ def build_bat_plan_host(
     n_blocks = max(_cdiv(max(num_segments, 1), s_tile), 1)
     n_vblocks = max(_cdiv(nnz, e_tile), 1)
 
-    win = dst // s_tile
-    blk = np.arange(nnz, dtype=np.int64) // e_tile
-    key = win * n_vblocks + blk  # lexicographic (win, blk); non-decreasing
-    # key is already sorted: O(n) run-compaction instead of np.unique's sort
+    nat = None
     if nnz:
-        head = np.empty(nnz, bool)
-        head[0] = True
-        np.not_equal(key[1:], key[:-1], out=head[1:])
-        uniq = key[head]
+        from geot_tpu import native as _native
+
+        nat = _native.build_bat_tiles(dst, num_segments, e_tile, s_tile)
+    if nat is not None:
+        # native (C++, parallel over windows) incidence builder — the
+        # numpy path below is the reference implementation and fallback
+        # (equality tested in tests/test_native.py)
+        ob, vb = nat
     else:
-        uniq = key
-    ob = (uniq // n_vblocks).astype(np.int32)
-    vb = (uniq % n_vblocks).astype(np.int32)
-    # coverage tiles for empty windows (kernel must init every out block)
-    missing = np.setdiff1d(
-        np.arange(n_blocks, dtype=np.int32), ob, assume_unique=False
-    )
-    if len(missing):
-        ob = np.concatenate([ob, missing])
-        vb = np.concatenate([vb, np.zeros(len(missing), np.int32)])
-        order = np.argsort(ob, kind="stable")
-        ob, vb = ob[order], vb[order]
-        # coverage tiles inherit the running block so vblock stays
-        # non-decreasing (consecutive equal indices skip the DMA re-fetch)
-        vb = np.maximum.accumulate(vb).astype(np.int32)
+        win = dst // s_tile
+        blk = np.arange(nnz, dtype=np.int64) // e_tile
+        key = win * n_vblocks + blk  # lexicographic (win, blk); non-decreasing
+        # key is already sorted: O(n) run-compaction, not np.unique's sort
+        if nnz:
+            head = np.empty(nnz, bool)
+            head[0] = True
+            np.not_equal(key[1:], key[:-1], out=head[1:])
+            uniq = key[head]
+        else:
+            uniq = key
+        ob = (uniq // n_vblocks).astype(np.int32)
+        vb = (uniq % n_vblocks).astype(np.int32)
+        # coverage tiles for empty windows (kernel must init every out block)
+        missing = np.setdiff1d(
+            np.arange(n_blocks, dtype=np.int32), ob, assume_unique=False
+        )
+        if len(missing):
+            ob = np.concatenate([ob, missing])
+            vb = np.concatenate([vb, np.zeros(len(missing), np.int32)])
+            order = np.argsort(ob, kind="stable")
+            ob, vb = ob[order], vb[order]
+            # coverage tiles inherit the running block so vblock stays
+            # non-decreasing (consecutive equal indices skip the DMA re-fetch)
+            vb = np.maximum.accumulate(vb).astype(np.int32)
 
     # one extra all--1 dst block at index n_vblocks: the sentinel target for
     # pad tiles (chunk uniformization) — matches nothing, adds nothing

@@ -20,6 +20,7 @@ __all__ = [
     "build",
     "sort_by_key",
     "build_plan_arrays",
+    "build_bat_tiles",
     "read_mtx",
     "coo_to_csr_host",
 ]
@@ -90,6 +91,16 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
         lib.geot_coo_to_csr.restype = ctypes.c_int
         lib.geot_coo_to_csr.argtypes = [i32p, ctypes.c_int64, ctypes.c_int32, i32p]
+        lib.geot_bat_num_tiles.restype = ctypes.c_int64
+        lib.geot_bat_num_tiles.argtypes = [
+            i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32,
+        ]
+        lib.geot_build_bat_tiles.restype = ctypes.c_int
+        lib.geot_build_bat_tiles.argtypes = [
+            i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, i32p, i32p,
+        ]
         _lib = lib
         return _lib
 
@@ -194,6 +205,33 @@ def read_mtx(path: str):
     if n < 0:
         return None
     return row[:n], col[:n], val[:n], int(rows.value), int(cols.value)
+
+
+def build_bat_tiles(
+    dst_sorted: np.ndarray,
+    num_segments: int,
+    e_tile: int,
+    s_tile: int,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Native (window, value-block) BAT incidence arrays (ob, vb) incl.
+    empty-window coverage tiles, or None (numpy fallback)."""
+    lib = _load()
+    if lib is None:
+        return None
+    dst_sorted = np.ascontiguousarray(dst_sorted, dtype=np.int32)
+    nnz = len(dst_sorted)
+    t = lib.geot_bat_num_tiles(
+        _i32p(dst_sorted), nnz, int(num_segments), int(e_tile), int(s_tile)
+    )
+    if t < 0:
+        return None
+    ob = np.empty(int(t), np.int32)
+    vb = np.empty(int(t), np.int32)
+    rc = lib.geot_build_bat_tiles(
+        _i32p(dst_sorted), nnz, int(num_segments), int(e_tile), int(s_tile),
+        _i32p(ob), _i32p(vb),
+    )
+    return (ob, vb) if rc == 0 else None
 
 
 def coo_to_csr_host(dst_sorted: np.ndarray, num_rows: int) -> Optional[np.ndarray]:

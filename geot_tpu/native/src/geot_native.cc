@@ -306,6 +306,87 @@ int64_t geot_mtx_read(const char* path, int32_t* row_out, int32_t* col_out,
   return n;
 }
 
+// ---------------------------------------------------------------------------
+// BAT (block-aligned-tile) incidence builder — mirrors
+// geot_tpu.graph.plan.build_bat_plan_host's (window, value-block) run
+// compaction + empty-window coverage tiles. Parallel over window ranges
+// split by edge count (same load-balance trick as geot_build_plan).
+// Phase 1 returns the tile count; phase 2 fills ob/vb.
+// ---------------------------------------------------------------------------
+static void bat_window_bounds(const int32_t* dst_sorted, int64_t nnz,
+                              int64_t n_blocks, int32_t s_tile,
+                              std::vector<int64_t>& edge_start) {
+  // edge_start[w] = first edge of window w (dst sorted ascending)
+  edge_start.assign(n_blocks + 1, 0);
+  for (int64_t i = 0; i < nnz; ++i) edge_start[dst_sorted[i] / s_tile + 1]++;
+  for (int64_t w = 0; w < n_blocks; ++w) edge_start[w + 1] += edge_start[w];
+}
+
+int64_t geot_bat_num_tiles(const int32_t* dst_sorted, int64_t nnz,
+                           int32_t num_segments, int32_t e_tile,
+                           int32_t s_tile) {
+  if (e_tile <= 0 || s_tile <= 0 || num_segments <= 0) return -1;
+  int64_t n_blocks = std::max<int64_t>(cdiv(num_segments, s_tile), 1);
+  for (int64_t i = 1; i < nnz; ++i)
+    if (dst_sorted[i] < dst_sorted[i - 1]) return -3;
+  if (nnz && (dst_sorted[0] < 0 || dst_sorted[nnz - 1] >= num_segments))
+    return -2;
+  std::vector<int64_t> edge_start;
+  bat_window_bounds(dst_sorted, nnz, n_blocks, s_tile, edge_start);
+  // per window: number of distinct value blocks among its edges (runs of
+  // e/e_tile over a contiguous ascending range = last_blk - first_blk + 1),
+  // or 1 coverage tile if empty
+  int64_t tiles = 0;
+  for (int64_t w = 0; w < n_blocks; ++w) {
+    int64_t e0 = edge_start[w], e1 = edge_start[w + 1];
+    tiles += (e0 == e1) ? 1 : ((e1 - 1) / e_tile - e0 / e_tile + 1);
+  }
+  return tiles;
+}
+
+int geot_build_bat_tiles(const int32_t* dst_sorted, int64_t nnz,
+                         int32_t num_segments, int32_t e_tile, int32_t s_tile,
+                         int32_t* ob_out, int32_t* vb_out) {
+  int64_t n_blocks = std::max<int64_t>(cdiv(num_segments, s_tile), 1);
+  std::vector<int64_t> edge_start;
+  bat_window_bounds(dst_sorted, nnz, n_blocks, s_tile, edge_start);
+  std::vector<int64_t> tile_start(n_blocks + 1, 0);
+  for (int64_t w = 0; w < n_blocks; ++w) {
+    int64_t e0 = edge_start[w], e1 = edge_start[w + 1];
+    int64_t t = (e0 == e1) ? 1 : ((e1 - 1) / e_tile - e0 / e_tile + 1);
+    tile_start[w + 1] = tile_start[w] + t;
+  }
+  int nt = hw_threads();
+  std::vector<std::thread> ts;
+  for (int t = 0; t < nt; ++t) {
+    int64_t wlo = (n_blocks * t) / nt, whi = (n_blocks * (t + 1)) / nt;
+    if (wlo >= whi) continue;
+    ts.emplace_back([&, wlo, whi] {
+      for (int64_t w = wlo; w < whi; ++w) {
+        int64_t e0 = edge_start[w], e1 = edge_start[w + 1];
+        int64_t p = tile_start[w];
+        if (e0 == e1) {
+          // coverage tile: vblock inherits the running block (the last
+          // value block touched before this window) so vb stays
+          // non-decreasing — matches np.maximum.accumulate in the
+          // python builder
+          ob_out[p] = static_cast<int32_t>(w);
+          vb_out[p] = static_cast<int32_t>(e0 ? (e0 - 1) / e_tile : 0);
+          continue;
+        }
+        int64_t b0 = e0 / e_tile, b1 = (e1 - 1) / e_tile;
+        for (int64_t b = b0; b <= b1; ++b) {
+          ob_out[p] = static_cast<int32_t>(w);
+          vb_out[p] = static_cast<int32_t>(b);
+          ++p;
+        }
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+  return 0;
+}
+
 // CSR row pointer from dst-sorted destinations (coo_to_csr parity,
 // `geot/match_replace/format_transform.py:5-18`).
 int geot_coo_to_csr(const int32_t* dst_sorted, int64_t nnz, int32_t num_rows,

@@ -26,7 +26,6 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from geot_tpu.graph.plan import SegmentPlan
-from geot_tpu.ops.pallas_segment import plan_segment_sum_sr
 from geot_tpu.parallel.partition import PartitionedGraph
 
 __all__ = ["halo_spmm", "node_sharding", "block_nodes", "unblock_nodes", "pad_nodes"]
@@ -99,7 +98,9 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _local_reduce(plan: SegmentPlan, xr: jax.Array, w_slots: jax.Array, use_pallas):
-    """Segment-sum xr[src_slots] * w into [num_segments, F]."""
+    """Segment-sum xr[src_slots] * w into [num_segments, F] via the same
+    mode dispatch as the single-chip path (packed-SR for narrow features —
+    round-1 shipped plain SR here and paid the 128-lane padding)."""
     vals = xr[plan.src_slots.reshape(-1)]
     if not use_pallas:
         return (
@@ -108,13 +109,10 @@ def _local_reduce(plan: SegmentPlan, xr: jax.Array, w_slots: jax.Array, use_pall
             .add(vals * w_slots.reshape(-1)[:, None], mode="drop")
             .astype(xr.dtype)
         )
-    n = xr.shape[1]
-    f_tile = 128 if n % 128 == 0 else None
-    if f_tile is None:
-        f_pad = _round_up(max(n, 1), 128)
-        vals = jnp.pad(vals, ((0, 0), (0, f_pad - n)))
-    out = plan_segment_sum_sr(plan, vals, w_slots.reshape(plan.mask.shape))
-    return out[: plan.num_segments, :n]
+    from geot_tpu.ops.api import _pick_mode, _plan_sum_one
+
+    ws = w_slots.reshape(plan.mask.shape)
+    return _plan_sum_one(plan, vals, ws, _pick_mode(xr.shape[1], plan))
 
 
 def _use_pallas(backend: str) -> bool:

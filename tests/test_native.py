@@ -86,3 +86,40 @@ def test_coo_to_csr_host():
     dst = np.array([0, 0, 1, 3, 3, 3], np.int32)
     out = native.coo_to_csr_host(dst, 5)
     np.testing.assert_array_equal(out, [0, 2, 3, 3, 6, 6])
+
+
+def test_bat_tiles_match_numpy():
+    """Native BAT (window, vblock) incidence builder ≡ the numpy
+    run-compaction + coverage-tile path in build_bat_plan_host."""
+    rng = np.random.default_rng(11)
+    for nnz, n_seg, e_tile, s_tile in [
+        (3003, 400, 64, 64),
+        (10_000, 257, 128, 256),
+        (513, 4000, 64, 128),  # many empty windows
+        (7, 1000, 64, 64),
+    ]:
+        dst = np.sort(rng.integers(0, n_seg, nnz)).astype(np.int32)
+        out = native.build_bat_tiles(dst, n_seg, e_tile, s_tile)
+        assert out is not None
+        ob_n, vb_n = out
+        # numpy reference (the fallback path inside build_bat_plan_host)
+        n_blocks = max(-(-n_seg // s_tile), 1)
+        n_vblocks = max(-(-nnz // e_tile), 1)
+        win = dst // s_tile
+        blk = np.arange(nnz, dtype=np.int64) // e_tile
+        key = win * n_vblocks + blk
+        head = np.empty(nnz, bool)
+        head[0] = True
+        np.not_equal(key[1:], key[:-1], out=head[1:])
+        uniq = key[head]
+        ob = (uniq // n_vblocks).astype(np.int32)
+        vb = (uniq % n_vblocks).astype(np.int32)
+        missing = np.setdiff1d(np.arange(n_blocks, dtype=np.int32), ob)
+        if len(missing):
+            ob = np.concatenate([ob, missing])
+            vb = np.concatenate([vb, np.zeros(len(missing), np.int32)])
+            order = np.argsort(ob, kind="stable")
+            ob, vb = ob[order], vb[order]
+            vb = np.maximum.accumulate(vb).astype(np.int32)
+        np.testing.assert_array_equal(ob_n, ob)
+        np.testing.assert_array_equal(vb_n, vb)
