@@ -13,6 +13,12 @@ from geot_tpu.graph.preprocess import (
     degree,
     gcn_norm,
 )
+from geot_tpu.graph.reorder import (
+    apply_order,
+    degree_order,
+    measure_window_dedup,
+    rcm_order,
+)
 from geot_tpu.graph.structures import Graph, build_graph
 from geot_tpu.graph.datasets import (
     GraphData,
@@ -37,6 +43,10 @@ __all__ = [
     "gcn_norm",
     "Graph",
     "build_graph",
+    "rcm_order",
+    "degree_order",
+    "apply_order",
+    "measure_window_dedup",
     "GraphData",
     "load_npz",
     "synthetic_graph",

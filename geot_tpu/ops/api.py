@@ -1084,6 +1084,18 @@ def csr_gws(
     if num_rows is None:
         num_rows = int(csrptr.shape[0]) - 1
     if graph is not None and _use_pallas(backend):
+        # the graph's own plan IS the schedule — the caller's matrix must
+        # be the one the graph was built from (same trust contract as the
+        # reference, but fail loudly on an obvious mismatch)
+        if int(col.shape[0]) != int(graph.num_edges) or num_rows > int(
+            graph.num_nodes
+        ):
+            raise ValueError(
+                f"csr_gws(graph=...): csr has nnz={int(col.shape[0])}, "
+                f"rows={num_rows} but the graph's plan covers "
+                f"nnz={int(graph.num_edges)}, nodes={int(graph.num_nodes)} "
+                "— pass the graph the matrix was built from"
+            )
         return gather_weight_scatter(
             col, graph.dst, weight, src, num_rows, graph=graph, backend=backend
         )

@@ -55,3 +55,42 @@ def test_col_local_consistency():
         for e in range(indptr[r0], indptr[r1]):
             slot = bf.win_ptr[w] + bf.col_local[e]
             assert bf.col_ids[slot] == col[e]
+
+
+def test_rcm_reorder_improves_window_dedup():
+    """RCM on a community-structured graph raises the per-window source
+    dedup ratio — the measurable lever behind the FlashSparse-style block
+    format (`baseline/FlashSparse`, `geot/format_preprocess.py`)."""
+    import numpy as np
+    from geot_tpu.graph.reorder import (
+        apply_order, measure_window_dedup, rcm_order,
+    )
+
+    rng = np.random.default_rng(3)
+    # two-level community graph: nodes grouped in clusters of 32, 90% of
+    # edges intra-cluster — then SHUFFLED so the raw labels have no locality
+    n, k = 2048, 32
+    edges = []
+    for c in range(n // k):
+        lo = c * k
+        m = 400
+        edges.append(
+            (rng.integers(lo, lo + k, m), rng.integers(lo, lo + k, m))
+        )
+    s = np.concatenate([e[0] for e in edges])
+    d = np.concatenate([e[1] for e in edges])
+    sx = rng.integers(0, n, len(s) // 9)
+    dx = rng.integers(0, n, len(s) // 9)
+    s, d = np.concatenate([s, sx]), np.concatenate([d, dx])
+    shuf = rng.permutation(n)
+    s, d, _ = apply_order(shuf, s, d)
+
+    base = measure_window_dedup(s, d, n, s_tile=64)
+    order = rcm_order(s, d, n)
+    after = measure_window_dedup(s, d, n, s_tile=64, order=order)
+    assert after["dedup_ratio"] > base["dedup_ratio"] * 1.5, (base, after)
+    # permutation sanity
+    s2, d2, inv = apply_order(order, s, d)
+    assert sorted(np.bincount(d2, minlength=n)) == sorted(
+        np.bincount(d, minlength=n)
+    )
