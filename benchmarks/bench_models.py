@@ -97,7 +97,7 @@ def run(args) -> None:
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--models", nargs="+", default=["gcn", "gin", "graphsage"])
+    p.add_argument("--models", nargs="+", default=["gcn", "gin", "graphsage", "gat"])
     p.add_argument("--datasets", nargs="+", default=["flickr", "ogbn-arxiv"])
     p.add_argument("--hidden", nargs="+", type=int, default=[32, 64])
     p.add_argument("--num-layers", type=int, default=3)
