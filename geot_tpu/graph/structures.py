@@ -72,6 +72,13 @@ class Graph:
     dst_t: Optional[jax.Array] = None
     edge_weight_t: Optional[jax.Array] = None
     num_nodes: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # measured-table layout preference for the fused SpMM (static-weight /
+    # per-call-weight op families): 'bat', 'bat_packed', 'sr', 'packed' —
+    # set from the tuning table at build, consulted by the op dispatcher
+    prefer: str = dataclasses.field(default="bat", metadata=dict(static=True))
+    prefer_dyn: str = dataclasses.field(
+        default="bat", metadata=dict(static=True)
+    )
 
     @property
     def num_edges(self) -> int:
@@ -127,13 +134,30 @@ def build_graph(
     src = np.asarray(src, dtype=np.int32)
     dst = np.asarray(dst, dtype=np.int32)
     mode_hint = "auto"
-    if e_tile is None or s_tile is None:
+    prefer = prefer_dyn = "bat"
+    if e_tile is None or s_tile is None or bat_e_tile is None:
+        # measured-table (or analytic-heuristic) winners drive BOTH plan
+        # families' tiles and the static/dynamic spmm layout preference —
+        # the decision-tree role of the reference's launch rules
+        # (`csrc/cuda/wrapper/index_scatter_rule.h`), consulted once here
         from geot_tpu.tuning.heuristics import select_config
 
-        cfg = select_config(feature_hint, len(src), num_nodes)
-        e_tile = e_tile or cfg.e_tile
-        s_tile = s_tile or cfg.s_tile
-        mode_hint = cfg.mode
+        cfg_s = select_config(feature_hint, len(src), num_nodes, op="spmm")
+        cfg_d = select_config(
+            feature_hint, len(src), num_nodes, op="spmm_dyn"
+        )
+        prefer, prefer_dyn = cfg_s.mode, cfg_d.mode
+        slot_cfgs = [c for c in (cfg_s, cfg_d) if c.mode in ("sr", "packed")]
+        bat_cfgs = [c for c in (cfg_s, cfg_d) if c.mode.startswith("bat")]
+        if slot_cfgs:
+            e_tile = e_tile or slot_cfgs[0].e_tile
+            s_tile = s_tile or slot_cfgs[0].s_tile
+            mode_hint = slot_cfgs[0].mode
+        if bat_cfgs and bat_e_tile is None:
+            bat_e_tile = bat_cfgs[0].e_tile
+            bat_s_tile = bat_s_tile or bat_cfgs[0].s_tile
+    e_tile = e_tile or 512
+    s_tile = s_tile or 256
     if edge_weight is not None:
         edge_weight = np.asarray(edge_weight, dtype=np.float32)
     if not assume_sorted:
@@ -222,4 +246,10 @@ def build_graph(
             None if edge_weight is None else jnp.asarray(edge_weight[perm_t])
         ),
         num_nodes=int(num_nodes),
+        prefer=prefer if plan is not None or prefer.startswith("bat") else "bat",
+        prefer_dyn=(
+            prefer_dyn
+            if plan is not None or prefer_dyn.startswith("bat")
+            else "bat"
+        ),
     )

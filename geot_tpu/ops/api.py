@@ -970,7 +970,9 @@ def gather_weight_scatter(
     """Edge-weighted fused SpMM: out[dst[e]] ⊕= weight[e] * src[src[e]].
     Reference: `geot/gather_weight_scatter.py:4-51`."""
     if graph is not None and _use_pallas(backend) and reduce in ("sum", "mean"):
-        if graph.bat is not None:
+        if graph.bat is not None and (
+            graph.prefer_dyn.startswith("bat") or graph.plan is None
+        ):
             out = _make_gws_bat(True, False)(
                 src, weight, graph.src, graph.dst, graph.dst_t,
                 graph.perm_t, graph.bat, graph.bat_t,
@@ -980,7 +982,10 @@ def gather_weight_scatter(
                 src, weight, graph.src, graph.dst, graph.plan, graph.plan_t,
                 graph.edge_pos_t,
             )
-        return _apply_reduce_post(out, graph.plan, reduce, backend)
+        return _apply_reduce_post(
+            out, graph.plan if graph.plan is not None else graph.bat,
+            reduce, backend,
+        )
     return ref.gather_weight_scatter_ref(
         src_index, dst_index, weight, src, num_segments, reduce
     )
@@ -999,12 +1004,21 @@ def segment_spmm(
     `models/conv/spmm.py:5-14`)."""
     w = edge_weight if edge_weight is not None else graph.edge_weight
     use_p = _use_pallas(backend) and reduce in ("sum", "mean")
+    # measured-table layout preference (Graph.prefer / .prefer_dyn): the
+    # sweep's static/dynamic spmm winners decide BAT vs slot per graph
+    have_slot = graph.plan is not None
     use_bat = use_p and graph.bat is not None
+    bat_static = use_bat and (
+        graph.prefer.startswith("bat")
+        or not have_slot
+        or graph.w_slots is None
+    )
+    bat_dyn = use_bat and (graph.prefer_dyn.startswith("bat") or not have_slot)
     if (
         reduce in ("sum", "mean")
         and edge_weight is None
         and graph.edge_weight is not None
-        and use_bat
+        and bat_static
     ):
         # static weights: edge order IS the kernel's input order under BAT,
         # with a precomputed transpose-order copy for backward
@@ -1018,7 +1032,7 @@ def segment_spmm(
             x, graph.plan, graph.plan_t, graph.w_slots, graph.w_slots_t
         )
     elif w is None:
-        if use_bat:
+        if use_bat and (graph.prefer.startswith("bat") or not have_slot):
             out = _make_gs_bat(True)(
                 x, graph.src, graph.dst, graph.dst_t, graph.bat, graph.bat_t
             )
@@ -1031,7 +1045,7 @@ def segment_spmm(
                 graph.src, graph.dst, x, graph.num_nodes, "sum"
             )
     else:
-        if use_bat:
+        if bat_dyn:
             out = _make_gws_bat(True, False)(
                 x, w, graph.src, graph.dst, graph.dst_t, graph.perm_t,
                 graph.bat, graph.bat_t,
