@@ -619,3 +619,200 @@ def build_segment_plan(
     if nw:
         km_pack = 128 // nw
     return plan_from_host(arrays, meta, km_pack=km_pack)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed BAT: edges re-sorted by (source bucket, dst) so each chunk's
+# gather reads a SLICED sub-table. Measured on v5e: the XLA row gather runs
+# ~2-4x faster from a <=170k-row table than from a products-scale (2.45M
+# row, 1.25 GB) one, and gather cost grows with TABLE size, not only row
+# count — chunked execution over the full table re-pays that cost per
+# chunk. Static/baked-weight ops only: per-call weights would need an nnz
+# scalar permutation at runtime (~10 ms per 1.2M edges — the round-1
+# disaster this layout exists to avoid).
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BucketedBatPlan:
+    """BAT tiles over a (src-bucket, dst)-sorted, per-bucket e_tile-padded
+    edge list. vblock indexes PADDED value blocks; `src_local` holds
+    bucket-local gather ids and `w_pad` the baked weights, both padded with
+    one trailing sentinel block (chunk uniformization targets it).
+
+    chunks: ((t0, t1, w0, w1, row_off), ...) — row_off is the bucket's
+    first row in the gather table; a chunk never spans two buckets.
+    """
+
+    out_block: jax.Array  # [T] int32 — per-bucket non-decreasing
+    vblock: jax.Array  # [T] int32 — global padded block ids, non-decr/bucket
+    dst3: jax.Array  # [n_vblocks+1, 1, e_tile] int32, -1 padded
+    src_local: jax.Array  # [(n_vblocks+1)*e_tile] int32 bucket-local ids
+    w_pad: Optional[jax.Array]  # [(n_vblocks+1)*e_tile] f32 or None
+    e_tile: int = dataclasses.field(metadata=dict(static=True))
+    s_tile: int = dataclasses.field(metadata=dict(static=True))
+    num_segments: int = dataclasses.field(metadata=dict(static=True))
+    n_blocks: int = dataclasses.field(metadata=dict(static=True))
+    num_edges: int = dataclasses.field(metadata=dict(static=True))
+    n_vblocks: int = dataclasses.field(metadata=dict(static=True))
+    bucket_rows: int = dataclasses.field(metadata=dict(static=True))
+    chunks: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+    chunk_blocks: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+    @property
+    def num_tiles(self) -> int:
+        return self.out_block.shape[0]
+
+    @property
+    def padded_segments(self) -> int:
+        return self.n_blocks * self.s_tile
+
+
+def build_bucketed_bat_plan(
+    gather_idx: np.ndarray,
+    reduce_idx: np.ndarray,
+    num_segments: int,
+    num_gather_rows: int,
+    *,
+    edge_weight: Optional[np.ndarray] = None,
+    e_tile: int = 1024,
+    s_tile: int = 256,
+    bucket_rows: int = 128 * 1024,
+    max_chunk_tiles: int = 2048,
+) -> BucketedBatPlan:
+    """Host build. `reduce_idx` must be sorted ascending (dst-sorted edge
+    list); the builder re-sorts to (bucket(gather_idx), reduce_idx) order
+    and bakes `edge_weight` into that order."""
+    gi = np.asarray(gather_idx, np.int64)
+    ri = np.asarray(reduce_idx, np.int64)
+    nnz = len(gi)
+    if nnz and int(ri.max()) >= num_segments:
+        raise ValueError("reduce_idx out of range")
+    bn = int(bucket_rows)
+    n_buckets = max(_cdiv(max(num_gather_rows, 1), bn), 1)
+    # stable sort by bucket: input is reduce-sorted, so the result is
+    # (bucket, reduce) lexicographic
+    bucket = (gi // bn).astype(np.int32)
+    from geot_tpu import native as _native
+
+    perm = _native.sort_by_key(bucket, n_buckets)
+    if perm is None:
+        perm = np.argsort(bucket, kind="stable")
+    gi, ri, bucket = gi[perm], ri[perm], bucket[perm]
+    w = None if edge_weight is None else np.asarray(
+        edge_weight, np.float32
+    )[perm]
+
+    counts = np.bincount(bucket, minlength=n_buckets).astype(np.int64)
+    pad_counts = _cdiv(np.maximum(counts, 0), e_tile) * e_tile
+    # buckets with zero edges occupy zero padded blocks
+    pstart = np.zeros(n_buckets + 1, np.int64)
+    np.cumsum(pad_counts, out=pstart[1:])
+    estart = np.zeros(n_buckets + 1, np.int64)
+    np.cumsum(counts, out=estart[1:])
+    n_pad_rows = int(pstart[-1])
+    n_vblocks = max(n_pad_rows // e_tile, 1)
+
+    dst_pad = np.full(n_pad_rows + e_tile, -1, np.int32)  # + sentinel block
+    src_pad = np.zeros(n_pad_rows + e_tile, np.int32)
+    w_pad = (
+        None if w is None else np.zeros(n_pad_rows + e_tile, np.float32)
+    )
+    obs, vbs = [], []
+    chunks = []
+    n_blocks = max(_cdiv(max(num_segments, 1), s_tile), 1)
+    for k in range(n_buckets):
+        e0, e1 = int(estart[k]), int(estart[k + 1])
+        if e0 == e1:
+            continue
+        p0 = int(pstart[k])
+        dst_pad[p0 : p0 + (e1 - e0)] = ri[e0:e1]
+        src_pad[p0 : p0 + (e1 - e0)] = (gi[e0:e1] - k * bn).astype(np.int32)
+        if w_pad is not None:
+            w_pad[p0 : p0 + (e1 - e0)] = w[e0:e1]
+        nat = _native.build_bat_tiles(
+            ri[e0:e1].astype(np.int32), num_segments, e_tile, s_tile
+        )
+        if nat is not None:
+            ob_k, vb_k = nat
+        else:
+            # numpy fallback mirrors build_bat_plan_host's compaction
+            win = ri[e0:e1] // s_tile
+            blk = np.arange(e1 - e0, dtype=np.int64) // e_tile
+            nv = max(_cdiv(e1 - e0, e_tile), 1)
+            key = win * nv + blk
+            head = np.empty(e1 - e0, bool)
+            head[0] = True
+            np.not_equal(key[1:], key[:-1], out=head[1:])
+            uniq = key[head]
+            ob_k = (uniq // nv).astype(np.int32)
+            vb_k = (uniq % nv).astype(np.int32)
+            missing = np.setdiff1d(np.arange(n_blocks, np.int32), ob_k)
+            if len(missing):
+                ob_k = np.concatenate([ob_k, missing])
+                vb_k = np.concatenate(
+                    [vb_k, np.zeros(len(missing), np.int32)]
+                )
+                order = np.argsort(ob_k, kind="stable")
+                ob_k, vb_k = ob_k[order], vb_k[order]
+                vb_k = np.maximum.accumulate(vb_k).astype(np.int32)
+        # drop whole-graph coverage tiles outside the bucket's own window
+        # span — gap coverage INSIDE the span stays (the scan accumulator
+        # must see zeros, not uninitialized rows, for every window in a
+        # chunk's [w0, w1) range)
+        w_lo = int(ri[e0]) // s_tile
+        w_hi = int(ri[e1 - 1]) // s_tile
+        keep = (ob_k >= w_lo) & (ob_k <= w_hi)
+        ob_k, vb_k = ob_k[keep], vb_k[keep]
+        vb_k = vb_k + p0 // e_tile
+        base_t = sum(len(o) for o in obs)
+        for t0, t1, w0, w1 in (
+            compute_chunks(ob_k, max_chunk_tiles)
+            or ((0, len(ob_k), int(ob_k[0]), int(ob_k[-1]) + 1),)
+        ):
+            chunks.append(
+                (base_t + t0, base_t + t1, w0, w1, k * bn)
+            )
+        obs.append(ob_k)
+        vbs.append(vb_k)
+
+    ob = np.concatenate(obs) if obs else np.zeros(1, np.int32)
+    vb = np.concatenate(vbs) if vbs else np.zeros(1, np.int32)
+    if not obs:
+        chunks = [(0, 1, 0, 1, 0)]
+    # uniformize: every chunk padded to the same (tiles, windows); pad
+    # tiles target the sentinel value block and the chunk's last window
+    T_max = max(t1 - t0 for t0, t1, _, _, _ in chunks)
+    W_max = max(w1 - w0 for _, _, w0, w1, _ in chunks)
+    n_c = len(chunks)
+    new_ob = np.zeros(n_c * T_max, np.int32)
+    new_vb = np.full(n_c * T_max, n_vblocks, np.int32)
+    new_chunks = []
+    for i, (t0, t1, w0, w1, roff) in enumerate(chunks):
+        nt = t1 - t0
+        base = i * T_max
+        new_ob[base : base + nt] = ob[t0:t1]
+        new_vb[base : base + nt] = vb[t0:t1]
+        pad_windows = list(range(w1, w0 + W_max))
+        pad_ob = (pad_windows + [w0 + W_max - 1] * T_max)[: T_max - nt]
+        new_ob[base + nt : base + T_max] = np.asarray(pad_ob, np.int32)
+        new_chunks.append((base, base + T_max, int(w0), int(w1), int(roff)))
+
+    dst3 = dst_pad.reshape(-1, 1, e_tile)
+    return BucketedBatPlan(
+        out_block=jnp.asarray(new_ob),
+        vblock=jnp.asarray(new_vb),
+        dst3=jnp.asarray(dst3),
+        src_local=jnp.asarray(src_pad),
+        w_pad=None if w_pad is None else jnp.asarray(w_pad),
+        e_tile=int(e_tile),
+        s_tile=int(s_tile),
+        num_segments=int(num_segments),
+        n_blocks=int(n_blocks),
+        num_edges=int(nnz),
+        n_vblocks=int(n_vblocks),
+        bucket_rows=bn,
+        chunks=tuple(new_chunks),
+        chunk_blocks=int(W_max),
+    )

@@ -71,6 +71,10 @@ class Graph:
     bat_t: Optional["BatPlan"] = None
     dst_t: Optional[jax.Array] = None
     edge_weight_t: Optional[jax.Array] = None
+    # bucketed BAT plans (src-bucket-sorted edges, sliced-table gather) —
+    # built for large node tables; static/baked-weight fast path only
+    bat_b: Optional[object] = None
+    bat_b_t: Optional[object] = None
     num_nodes: int = dataclasses.field(default=0, metadata=dict(static=True))
     # measured-table layout preference for the fused SpMM (static-weight /
     # per-call-weight op families): 'bat', 'bat_packed', 'sr', 'packed' —
@@ -171,7 +175,11 @@ def build_graph(
     from geot_tpu.graph.plan import packed_width as _pw
 
     pa = 16 if (feature_hint and _pw(feature_hint)) else 1
-    from geot_tpu.graph.plan import build_bat_plan, packed_width
+    from geot_tpu.graph.plan import (
+        build_bat_plan,
+        build_bucketed_bat_plan,
+        packed_width,
+    )
 
     nw = packed_width(feature_hint) if feature_hint else 0
     km_pack = (128 // nw) if nw else 0
@@ -212,7 +220,7 @@ def build_graph(
     # SMEM scalar-prefetch cap — measured (meas4): chunked "pipelining"
     # does NOT overlap gather with kernel on TPU (XLA executes fusions
     # sequentially on the core) and costs ~0.5 ms in slicing overhead.
-    bat = bat_t = None
+    bat = bat_t = bat_b = bat_b_t = None
     if "bat" in layouts:
         bat_e = bat_e_tile or (
             1024 if (nw == 0 and e_tile * 2 <= 1024) else e_tile
@@ -229,6 +237,33 @@ def build_graph(
                              km_pack=km_pack, max_chunk_tiles=mct)
         bat_t = build_bat_plan(src_t, num_nodes, e_tile=bat_e, s_tile=bat_s,
                                km_pack=km_pack, max_chunk_tiles=mct)
+        # bucketed variant (OPT-IN via GEOT_BUCKET_TABLE_BYTES): re-sort
+        # edges by source bucket so each chunk gathers from a sliced
+        # sub-table. Measured on products/v5e: the sliced gather IS ~2-4x
+        # faster per row, but src-bucketing dilutes each bucket's dst
+        # density ~n_buckets-fold, inflating (window, block) tile count and
+        # kernel time by more than the gather saves (1179 ms vs 935 ms
+        # unbucketed) — big chunks (GEOT_MAX_CHUNK_BYTES) amortize the
+        # table-size gather cost more cheaply. Kept as an option: wins on
+        # graphs whose dst windows stay dense per bucket (community
+        # structure). Static/baked weights only.
+        table_bytes = num_nodes * max(feature_hint, 1) * 4
+        bucket_thresh = int(
+            os.environ.get("GEOT_BUCKET_TABLE_BYTES", 1 << 62)
+        )
+        if nw == 0 and table_bytes > bucket_thresh:
+            bat_b = build_bucketed_bat_plan(
+                src, dst, num_nodes, num_nodes,
+                edge_weight=edge_weight,
+                e_tile=bat_e, s_tile=bat_s, max_chunk_tiles=mct,
+            )
+            bat_b_t = build_bucketed_bat_plan(
+                dst[perm_t], src_t, num_nodes, num_nodes,
+                edge_weight=(
+                    None if edge_weight is None else edge_weight[perm_t]
+                ),
+                e_tile=bat_e, s_tile=bat_s, max_chunk_tiles=mct,
+            )
     return Graph(
         src=jnp.asarray(src),
         dst=jnp.asarray(dst),
@@ -241,6 +276,8 @@ def build_graph(
         edge_pos_t=ep_t,
         bat=bat,
         bat_t=bat_t,
+        bat_b=bat_b,
+        bat_b_t=bat_b_t,
         dst_t=jnp.asarray(dst[perm_t]),
         edge_weight_t=(
             None if edge_weight is None else jnp.asarray(edge_weight[perm_t])

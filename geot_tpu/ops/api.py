@@ -469,6 +469,115 @@ def _bat_sum_scan(bp: BatPlan, vals_fn, n: int, w_edge: Optional[jax.Array]):
     return out[: bp.num_segments, :n].astype(dt)
 
 
+def _bucketed_sum(bp, x: jax.Array) -> jax.Array:
+    """Segment sum over a BucketedBatPlan (weights baked into the plan):
+    each scan step slices the chunk's SOURCE BUCKET out of `x` and gathers
+    from that small table — on v5e the XLA row gather from a <=170k-row
+    slice runs ~2-4x faster than from a products-scale table, and chunked
+    execution over the full table re-pays a table-size-dependent cost per
+    chunk (measured: ~20 ms per products chunk)."""
+    from geot_tpu.graph.plan import BucketedBatPlan  # noqa: F401
+
+    E, s = bp.e_tile, bp.s_tile
+    n = x.shape[1]
+    f_tile = _pick_f_tile(n)
+    f_pad = _round_up(max(n, 1), f_tile)
+    if f_pad != n:
+        x = jnp.pad(x, ((0, 0), (0, f_pad - n)))
+    bn = bp.bucket_rows
+    n_buckets = -(-x.shape[0] // bn)
+    if x.shape[0] != n_buckets * bn:
+        x = jnp.pad(x, ((0, n_buckets * bn - x.shape[0]), (0, 0)))
+
+    C = len(bp.chunks)
+    T_c = bp.chunks[0][1] - bp.chunks[0][0]
+    W_c = bp.chunk_blocks
+    nblk = T_c + 1
+    ob2 = bp.out_block.reshape(C, T_c)
+    vb2 = bp.vblock.reshape(C, T_c)
+    vbase = jnp.min(
+        jnp.where(vb2 >= bp.n_vblocks, jnp.iinfo(jnp.int32).max, vb2), axis=1
+    )
+    vbase = jnp.where(vbase == jnp.iinfo(jnp.int32).max, 0, vbase)
+    import numpy as _np
+
+    w0s = jnp.asarray(_np.asarray([c[2] for c in bp.chunks], _np.int32))
+    w1s = jnp.asarray(_np.asarray([c[3] for c in bp.chunks], _np.int32))
+    roffs = jnp.asarray(_np.asarray([c[4] for c in bp.chunks], _np.int32))
+    vb_rel = jnp.where(vb2 >= bp.n_vblocks, nblk, vb2 - vbase[:, None])
+    ob_rel = ob2 - w0s[:, None]
+    dst3_pad = jnp.pad(
+        bp.dst3[: bp.n_vblocks],
+        ((0, nblk + 1), (0, 0), (0, 0)),
+        constant_values=-1,
+    )
+    srcl_pad = jnp.pad(bp.src_local, (0, (nblk + 1) * E))
+    wz_pad = (
+        None if bp.w_pad is None else jnp.pad(bp.w_pad, (0, (nblk + 1) * E))
+    )
+
+    def body(carry, xs):
+        vb0, w0, w1, roff, vb_i, ob_i = xs
+        dst3 = (
+            jax.lax.dynamic_slice_in_dim(dst3_pad, vb0, nblk + 1)
+            .at[nblk]
+            .set(-1)
+            - w0 * s
+        )
+        cpp = BatPlan(
+            out_block=ob_i,
+            vblock=vb_i,
+            dst3=dst3,
+            dst_km=None,
+            mask_km=None,
+            e_tile=E,
+            s_tile=s,
+            num_segments=W_c * s,
+            n_blocks=W_c,
+            num_edges=nblk * E,
+            n_vblocks=nblk,
+        )
+        idx = jax.lax.dynamic_slice_in_dim(srcl_pad, vb0 * E, nblk * E)
+        xslice = jax.lax.dynamic_slice(x, (roff, 0), (bn, f_pad))
+        v = xslice[idx]
+        we = None
+        if wz_pad is not None:
+            we = jax.lax.dynamic_slice_in_dim(wz_pad, vb0 * E, nblk * E)
+        out_c = bat_segment_sum(cpp, v, we, f_tile=f_tile).astype(jnp.float32)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (W_c * s, 1), 0)
+        out_c = jnp.where(rows < (w1 - w0) * s, out_c, 0.0)
+        off = w0 * s
+        cur = jax.lax.dynamic_slice(carry, (off, 0), (W_c * s, f_pad))
+        return jax.lax.dynamic_update_slice(carry, cur + out_c, (off, 0)), None
+
+    carry0 = jnp.zeros((bp.n_blocks * s + W_c * s, f_pad), jnp.float32)
+    out, _ = jax.lax.scan(
+        body, carry0, (vbase, w0s, w1s, roffs, vb_rel, ob_rel)
+    )
+    return out[: bp.num_segments, :n].astype(x.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_spmm_bucketed():
+    """Static-weight fused SpMM over bucketed BAT plans (weights baked);
+    backward = bucketed sum over the transpose plan (no dw — mirrors
+    `_make_gws_bat(static_w=True)`)."""
+
+    @jax.custom_vjp
+    def f(x, bb, bb_t):
+        return _bucketed_sum(bb, x)
+
+    def fwd(x, bb, bb_t):
+        return f(x, bb, bb_t), (bb_t,)
+
+    def bwd(res, g):
+        (bb_t,) = res
+        return (_bucketed_sum(bb_t, g), None, None)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def _w_slots(
     plan: SegmentPlan,
     w_edge: Optional[jax.Array],
@@ -1018,6 +1127,15 @@ def segment_spmm(
         reduce in ("sum", "mean")
         and edge_weight is None
         and graph.edge_weight is not None
+        and use_p
+        and graph.bat_b is not None
+    ):
+        # big-table static path: bucketed BAT (sliced-table gather)
+        out = _make_spmm_bucketed()(x, graph.bat_b, graph.bat_b_t)
+    elif (
+        reduce in ("sum", "mean")
+        and edge_weight is None
+        and graph.edge_weight is not None
         and bat_static
     ):
         # static weights: edge order IS the kernel's input order under BAT,
@@ -1032,7 +1150,9 @@ def segment_spmm(
             x, graph.plan, graph.plan_t, graph.w_slots, graph.w_slots_t
         )
     elif w is None:
-        if use_bat and (graph.prefer.startswith("bat") or not have_slot):
+        if use_p and graph.bat_b is not None:
+            out = _make_spmm_bucketed()(x, graph.bat_b, graph.bat_b_t)
+        elif use_bat and (graph.prefer.startswith("bat") or not have_slot):
             out = _make_gs_bat(True)(
                 x, graph.src, graph.dst, graph.dst_t, graph.bat, graph.bat_t
             )
