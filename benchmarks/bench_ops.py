@@ -176,14 +176,17 @@ def run(args) -> None:
                         effective_gbps=round(gbps, 2),
                     )
                 )
-                print(rows[-1])
+                print(rows[-1], flush=True)
+                if args.out:
+                    # incremental append: a dropped TPU tunnel mid-grid
+                    # must not lose the measured rows
+                    hdr = not os.path.exists(args.out)
+                    with open(args.out, "a", newline="") as f:
+                        wtr = csv.DictWriter(f, fieldnames=list(rows[-1]))
+                        if hdr:
+                            wtr.writeheader()
+                        wtr.writerow(rows[-1])
     if args.out and rows:
-        write_header = not os.path.exists(args.out)
-        with open(args.out, "a", newline="") as f:
-            wtr = csv.DictWriter(f, fieldnames=list(rows[0]))
-            if write_header:
-                wtr.writeheader()
-            wtr.writerows(rows)
         print(f"wrote {len(rows)} rows to {args.out}")
 
 
