@@ -55,9 +55,14 @@ def main() -> None:
         # large scale: the slot plans are ~3 GB of HBM the BAT execution
         # path never reads (and minutes of host build).
         layouts = ("bat",) if n_edges > 20_000_000 else ("bat", "slot")
-        g = prepare_graph(
-            d.src, d.dst, n_nodes, add_self_loops=False, edge_weight=w_host,
-            layouts=layouts,
+        from geot_tpu.graph.cache import cached_build
+
+        g = cached_build(
+            f"bench-{dataset}-N{n_feat}-{'-'.join(layouts)}",
+            lambda: prepare_graph(
+                d.src, d.dst, n_nodes, add_self_loops=False,
+                edge_weight=w_host, layouts=layouts,
+            ),
         )
         x = jnp.asarray(
             rng.standard_normal((n_nodes, n_feat)).astype(np.float32)

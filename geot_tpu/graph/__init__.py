@@ -13,6 +13,7 @@ from geot_tpu.graph.preprocess import (
     degree,
     gcn_norm,
 )
+from geot_tpu.graph.cache import cached_build, load_graph, save_graph
 from geot_tpu.graph.reorder import (
     apply_order,
     degree_order,
@@ -47,6 +48,9 @@ __all__ = [
     "degree_order",
     "apply_order",
     "measure_window_dedup",
+    "save_graph",
+    "load_graph",
+    "cached_build",
     "GraphData",
     "load_npz",
     "synthetic_graph",

@@ -1,0 +1,137 @@
+"""Graph preprocessing cache: save/load a built `Graph` as .npz + JSON.
+
+Products-scale host preprocessing (sorts, plan construction) takes minutes;
+the plans are pure functions of (edges, tile shapes), so they are computed
+once and reloaded thereafter — the same amortization contract as the
+reference's one-time `coo_to_csr` transform (`format_transform.py:5-40`),
+extended to the whole plan set. Pickle-free on purpose (cf. the checkpoint
+format, `models/train.py`): arrays go to a single .npz, static metadata to
+a JSON sidecar entry inside it, and dataclasses are rebuilt structurally.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from geot_tpu.graph.plan import BatPlan, BucketedBatPlan, SegmentPlan
+from geot_tpu.graph.structures import Graph
+
+__all__ = ["save_graph", "load_graph", "cached_build"]
+
+_PLAN_TYPES = {
+    "SegmentPlan": SegmentPlan,
+    "BatPlan": BatPlan,
+    "BucketedBatPlan": BucketedBatPlan,
+}
+# bump when plan array layouts change incompatibly — stale caches miss
+FORMAT_VERSION = 1
+
+
+def _split_fields(obj):
+    arrays, statics = {}, {}
+    for f in dataclasses.fields(obj):
+        v = getattr(obj, f.name)
+        if f.metadata.get("static"):
+            statics[f.name] = v
+        elif v is not None:
+            arrays[f.name] = np.asarray(v)
+    return arrays, statics
+
+
+def save_graph(g: Graph, path: str) -> None:
+    """Write `g` (all plan families, weights, statics) to one .npz."""
+    blobs = {}
+    meta = {"__version__": FORMAT_VERSION, "plans": {}, "statics": {}}
+    for f in dataclasses.fields(Graph):
+        v = getattr(g, f.name)
+        if v is None:
+            continue
+        if f.metadata.get("static"):
+            meta["statics"][f.name] = v
+        elif isinstance(v, (SegmentPlan, BatPlan, BucketedBatPlan)):
+            arrays, statics = _split_fields(v)
+            # json serializes nested tuples as arrays; load re-tuplifies
+            meta["plans"][f.name] = {
+                "type": type(v).__name__,
+                "statics": statics,
+            }
+            for k, a in arrays.items():
+                blobs[f"{f.name}.{k}"] = a
+        else:
+            blobs[f.name] = np.asarray(v)
+    blobs["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8
+    )
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(tmp, "wb") as fh:
+        np.savez(fh, **blobs)
+    os.replace(tmp, path)
+
+
+def _tuplify(v):
+    if isinstance(v, list):
+        return tuple(_tuplify(x) for x in v)
+    return v
+
+
+def load_graph(path: str) -> Optional[Graph]:
+    """Rebuild a Graph saved by `save_graph`, or None on version mismatch."""
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(bytes(z["__meta__"].tobytes()).decode())
+        if meta.get("__version__") != FORMAT_VERSION:
+            return None
+        kwargs = dict(meta["statics"])
+        plan_arrays: dict = {}
+        for key in z.files:
+            if key == "__meta__":
+                continue
+            if "." in key:
+                fname, k = key.split(".", 1)
+                plan_arrays.setdefault(fname, {})[k] = z[key]
+            else:
+                kwargs[key] = jnp.asarray(z[key])
+        for fname, spec in meta["plans"].items():
+            cls = _PLAN_TYPES[spec["type"]]
+            statics = {k: _tuplify(v) for k, v in spec["statics"].items()}
+            arrays = {
+                k: jnp.asarray(a) for k, a in plan_arrays.get(fname, {}).items()
+            }
+            # absent optional array fields -> None
+            for f in dataclasses.fields(cls):
+                if not f.metadata.get("static") and f.name not in arrays:
+                    arrays[f.name] = None
+            kwargs[fname] = cls(**arrays, **statics)
+    return Graph(**kwargs)
+
+
+def cached_build(cache_key: str, build_fn, cache_dir: Optional[str] = None):
+    """Load the graph for `cache_key` from the cache, or build via
+    `build_fn()` and save. Cache dir defaults to ~/.cache/geot_tpu/graphs
+    (override: GEOT_GRAPH_CACHE_DIR; disable: GEOT_GRAPH_CACHE_DIR=off)."""
+    cache_dir = cache_dir or os.environ.get(
+        "GEOT_GRAPH_CACHE_DIR",
+        os.path.expanduser("~/.cache/geot_tpu/graphs"),
+    )
+    if cache_dir == "off":
+        return build_fn()
+    path = os.path.join(cache_dir, f"{cache_key}.npz")
+    if os.path.exists(path):
+        try:
+            g = load_graph(path)
+            if g is not None:
+                return g
+        except Exception:
+            pass  # corrupt/stale cache: rebuild
+    g = build_fn()
+    try:
+        save_graph(g, path)
+    except Exception:
+        pass  # cache write failure must not break the build
+    return g
