@@ -174,6 +174,9 @@ def run(args) -> None:
                         nnz=g.num_edges,
                         time_ms=round(t * 1e3, 4),
                         effective_gbps=round(gbps, 2),
+                        # reference GFLOPS convention (codegen.py:10):
+                        # nnz*N per op call
+                        gflops=round(g.num_edges * n_feat / t / 1e9, 2),
                     )
                 )
                 print(rows[-1], flush=True)
