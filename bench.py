@@ -5,111 +5,185 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 `value` is the measured fraction of the chip's HBM-bandwidth roofline for
-the dst-sorted weighted SpMM on an ogbn-arxiv-shaped graph at N=128 (the
+the dst-sorted weighted SpMM on an ogbn-products-shaped graph at N=128 (the
 reference's headline op and largest sweep point,
 `benchmark/bench_spmm.py:140-165`). `vs_baseline` normalizes by the
-BASELINE.md target (≥0.80 of roofline), so ≥1.0 means target met.
+BASELINE.md target (>=0.80 of roofline), so >=1.0 means target met.
 
 The bytes model is speed-of-light (each gathered row, index, weight read
 once; output written once) — NOT the implementation's actual traffic — so
 the number is an honest end-to-end efficiency, directly comparable across
 implementations.
+
+Robustness (round-3): when the axon TPU tunnel is down, `import jax`
+BLOCKS indefinitely in any process with `PALLAS_AXON_POOL_IPS` set (the
+sitecustomize PJRT hook), so no amount of in-process retry can help —
+round 2's capture died exactly this way (BENCH_r02.json rc=1). This
+parent process therefore never imports jax. It:
+  1. probes the TPU in a subprocess with a hard timeout, retrying with
+     bounded backoff across tunnel flaps;
+  2. runs the measurement itself in a subprocess per dataset (a mid-run
+     tunnel death costs one dataset, not the capture);
+  3. if the TPU never answers, re-runs on CPU with the axon hook
+     disabled (PALLAS_AXON_POOL_IPS="") so a clearly-labeled
+     reference-backend line is still emitted. Partial data beats none.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
+import time
 
+TARGET = 0.80
+PROBE_TRIES = int(os.environ.get("GEOT_BENCH_INIT_TRIES", "6"))
+PROBE_TIMEOUT_S = float(os.environ.get("GEOT_BENCH_PROBE_TIMEOUT", "180"))
+PROBE_BACKOFF_S = float(os.environ.get("GEOT_BENCH_INIT_BACKOFF", "60"))
+# products first-compile over the tunnel can take ~10 min cold; the
+# persistent compile cache + graph cache make warm runs minutes.
+MEASURE_TIMEOUT_S = float(os.environ.get("GEOT_BENCH_MEASURE_TIMEOUT", "3600"))
+
+_PROBE_SRC = "import jax; d=jax.devices(); print('BACKEND='+jax.default_backend())"
+
+_MEASURE_SRC = r"""
+import json, os, sys
 import numpy as np
+import jax
+import jax.numpy as jnp
+from geot_tpu.graph.cache import cached_build
+from geot_tpu.graph.datasets import DATASET_SHAPES, synthetic_graph
+from geot_tpu.models.conv import prepare_graph
+from geot_tpu.ops import api as ops
+from geot_tpu.utils.roofline import hbm_bandwidth_gbps, spmm_bytes
+from geot_tpu.utils.timing import timeit
+
+dataset = sys.argv[1]
+n_feat = int(sys.argv[2])
+on_tpu = jax.default_backend() in ("tpu", "axon")
+backend = "pallas" if on_tpu else "reference"
+n_nodes, n_edges, _, _ = DATASET_SHAPES[dataset]
+d = synthetic_graph(n_nodes, n_edges, power=1.0, seed=0, name=dataset)
+rng = np.random.default_rng(0)
+w_host = rng.standard_normal(d.num_edges).astype(np.float32)
+# static weights baked into the graph (the GCN model path: weights are
+# graph data, slot-ordered once at build). BAT-only layouts at large
+# scale: slot plans are ~3 GB of HBM the BAT execution path never reads.
+layouts = ("bat",) if n_edges > 20_000_000 else ("bat", "slot")
+g = cached_build(
+    f"bench-{dataset}-N{n_feat}-{'-'.join(layouts)}",
+    lambda: prepare_graph(
+        d.src, d.dst, n_nodes, add_self_loops=False,
+        edge_weight=w_host, layouts=layouts,
+    ),
+)
+x = jnp.asarray(rng.standard_normal((n_nodes, n_feat)).astype(np.float32))
+# the graph is a jit ARGUMENT (closing over it would embed the plan
+# arrays as program constants — multi-GB at products scale)
+fn = jax.jit(lambda g, x: ops.segment_spmm(g, x, backend=backend))
+iters = int(os.environ.get("GEOT_BENCH_ITERS", 15 if n_edges > 20_000_000 else 50))
+t = timeit(fn, g, x, warmup=3, iters=iters)
+sol = spmm_bytes(g.num_edges, n_feat, n_nodes, n_nodes,
+                 weighted=True, fused_gather=True)
+bw = hbm_bandwidth_gbps() * 1e9 if on_tpu else 50e9  # CPU placeholder
+print("RESULT=" + json.dumps({
+    "backend": backend,
+    "device": str(jax.devices()[0].device_kind),
+    "frac": (sol / t) / bw,
+    "time_ms": round(t * 1e3, 4),
+    "edges_per_s": round(g.num_edges / t, 1),
+}))
+"""
 
 
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
+def _cpu_env() -> dict:
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""  # disables the sitecustomize axon hook
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
 
-    from geot_tpu.graph.datasets import DATASET_SHAPES, synthetic_graph
-    from geot_tpu.models.conv import prepare_graph
-    from geot_tpu.ops import api as ops
-    from geot_tpu.utils.roofline import hbm_bandwidth_gbps, spmm_bytes
-    from geot_tpu.utils.timing import timeit
 
-    on_tpu = jax.default_backend() in ("tpu", "axon")
-    backend = "pallas" if on_tpu else "reference"
-    # headline = the north-star config (BASELINE.md row 1: ogbn-products,
-    # per chip); arxiv measured alongside for cross-round comparability.
-    # Override with GEOT_BENCH_DATASET=name[,name...].
+def _probe_tpu() -> bool:
+    """True if the axon TPU answers within the probe timeout."""
+    for attempt in range(PROBE_TRIES):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC],
+                capture_output=True, text=True, timeout=PROBE_TIMEOUT_S,
+            )
+            if r.returncode == 0 and "BACKEND=" in r.stdout:
+                return True
+            err = (r.stderr or r.stdout).strip().splitlines()
+            print(f"# tpu probe failed (try {attempt+1}/{PROBE_TRIES}): "
+                  f"{err[-1][:200] if err else 'rc=%d' % r.returncode}",
+                  file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"# tpu probe timed out after {PROBE_TIMEOUT_S:.0f}s "
+                  f"(try {attempt+1}/{PROBE_TRIES})", file=sys.stderr)
+        if attempt + 1 < PROBE_TRIES:
+            time.sleep(PROBE_BACKOFF_S)
+    return False
+
+
+def _measure(dataset: str, n_feat: int, env: dict) -> dict:
+    """Run one dataset's measurement in a subprocess; returns result dict
+    or an {'error': ...} dict. One retry on timeout/crash (tunnel flap)."""
+    last_err = "unknown"
+    for attempt in range(2):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _MEASURE_SRC, dataset, str(n_feat)],
+                capture_output=True, text=True, timeout=MEASURE_TIMEOUT_S,
+                env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            for line in r.stdout.splitlines():
+                if line.startswith("RESULT="):
+                    return json.loads(line[len("RESULT="):])
+            tail = (r.stderr or "").strip().splitlines()
+            last_err = f"rc={r.returncode}: {tail[-1][:300] if tail else ''}"
+        except subprocess.TimeoutExpired:
+            last_err = f"measurement timed out after {MEASURE_TIMEOUT_S:.0f}s"
+        print(f"# {dataset} measure failed (try {attempt+1}/2): {last_err}",
+              file=sys.stderr)
+    return {"error": last_err}
+
+
+def main() -> int:
+    on_tpu = _probe_tpu()
+    env = dict(os.environ) if on_tpu else _cpu_env()
     default = "ogbn-products,ogbn-arxiv" if on_tpu else "ogbn-arxiv"
     datasets = os.environ.get("GEOT_BENCH_DATASET", default).split(",")
     n_feat = int(os.environ.get("GEOT_BENCH_FEATURES", "128"))
-    target = 0.80
-    results = {}
-    for dataset in datasets:
-        n_nodes, n_edges, _, _ = DATASET_SHAPES[dataset]
-        d = synthetic_graph(n_nodes, n_edges, power=1.0, seed=0, name=dataset)
-        rng = np.random.default_rng(0)
-        w_host = rng.standard_normal(d.num_edges).astype(np.float32)
-        # static weights baked into the graph (the GCN model path: weights
-        # are graph data, slot-ordered once at build). BAT-only layouts at
-        # large scale: the slot plans are ~3 GB of HBM the BAT execution
-        # path never reads (and minutes of host build).
-        layouts = ("bat",) if n_edges > 20_000_000 else ("bat", "slot")
-        from geot_tpu.graph.cache import cached_build
 
-        g = cached_build(
-            f"bench-{dataset}-N{n_feat}-{'-'.join(layouts)}",
-            lambda: prepare_graph(
-                d.src, d.dst, n_nodes, add_self_loops=False,
-                edge_weight=w_host, layouts=layouts,
-            ),
-        )
-        x = jnp.asarray(
-            rng.standard_normal((n_nodes, n_feat)).astype(np.float32)
-        )
-        # the graph is a jit ARGUMENT (closing over it would embed the plan
-        # arrays as program constants — multi-GB for products-scale graphs)
-        fn = jax.jit(lambda g, x: ops.segment_spmm(g, x, backend=backend))
-        iters = int(
-            os.environ.get(
-                "GEOT_BENCH_ITERS", 15 if n_edges > 20_000_000 else 50
-            )
-        )
-        t = timeit(fn, g, x, warmup=3, iters=iters)
-        sol_bytes = spmm_bytes(
-            g.num_edges, n_feat, n_nodes, n_nodes,
-            weighted=True, fused_gather=True,
-        )
-        bw = hbm_bandwidth_gbps() * 1e9 if on_tpu else 50e9  # CPU placeholder
-        results[dataset] = {
-            "frac": (sol_bytes / t) / bw,
-            "time_ms": round(t * 1e3, 4),
-            "edges_per_s": round(g.num_edges / t, 1),
-        }
-        del g, x
-
-    head = datasets[0]
-    extra = {
-        "backend": backend,
-        "device": str(jax.devices()[0].device_kind),
-    }
-    for ds, r in results.items():
+    extra: dict = {"tpu_available": on_tpu}
+    results: dict = {}
+    for ds in datasets:
+        r = _measure(ds, n_feat, env)
+        if "error" in r:
+            extra[ds] = r
+            continue
+        extra.setdefault("backend", r["backend"])
+        extra.setdefault("device", r["device"])
+        results[ds] = r
         extra[ds] = {
             "roofline_fraction": round(r["frac"], 4),
             "time_ms": r["time_ms"],
             "edges_per_s": r["edges_per_s"],
         }
-    print(
-        json.dumps(
-            {
-                "metric": f"spmm_roofline_fraction[{head},N={n_feat}]",
-                "value": round(results[head]["frac"], 4),
-                "unit": "fraction_of_hbm_roofline",
-                "vs_baseline": round(results[head]["frac"] / target, 4),
-                "extra": extra,
-            }
-        )
-    )
+
+    head = datasets[0]
+    if head not in results and results:
+        head = next(iter(results))  # report what measured
+    frac = results.get(head, {}).get("frac", 0.0)
+    print(json.dumps({
+        "metric": f"spmm_roofline_fraction[{head},N={n_feat}]",
+        "value": round(frac, 4),
+        "unit": "fraction_of_hbm_roofline",
+        "vs_baseline": round(frac / TARGET, 4),
+        "extra": extra,
+    }))
+    return 0
 
 
 if __name__ == "__main__":
