@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from geot_tpu.graph.plan import BatPlan, BucketedBatPlan, SegmentPlan
+from geot_tpu.graph.stream_plan import HybridPlan, StreamPlan
 from geot_tpu.graph.structures import Graph
 
 __all__ = ["save_graph", "load_graph", "cached_build"]
@@ -28,9 +29,11 @@ _PLAN_TYPES = {
     "SegmentPlan": SegmentPlan,
     "BatPlan": BatPlan,
     "BucketedBatPlan": BucketedBatPlan,
+    "StreamPlan": StreamPlan,
 }
 # bump when plan array layouts change incompatibly — stale caches miss
-FORMAT_VERSION = 1
+# (v2: hybrid stream+gather plans added; v1 caches lack them)
+FORMAT_VERSION = 2
 
 
 def _split_fields(obj):
@@ -54,7 +57,7 @@ def save_graph(g: Graph, path: str) -> None:
             continue
         if f.metadata.get("static"):
             meta["statics"][f.name] = v
-        elif isinstance(v, (SegmentPlan, BatPlan, BucketedBatPlan)):
+        elif isinstance(v, (SegmentPlan, BatPlan, BucketedBatPlan, StreamPlan)):
             arrays, statics = _split_fields(v)
             # json serializes nested tuples as arrays; load re-tuplifies
             meta["plans"][f.name] = {
@@ -63,6 +66,23 @@ def save_graph(g: Graph, path: str) -> None:
             }
             for k, a in arrays.items():
                 blobs[f"{f.name}.{k}"] = a
+        elif isinstance(v, HybridPlan):
+            spec = {"type": "HybridPlan", "children": {}}
+            for cf in dataclasses.fields(HybridPlan):
+                cv = getattr(v, cf.name)
+                if cv is None:
+                    continue
+                if isinstance(cv, (StreamPlan, BatPlan)):
+                    arrays, statics = _split_fields(cv)
+                    spec["children"][cf.name] = {
+                        "type": type(cv).__name__,
+                        "statics": statics,
+                    }
+                    for k, a in arrays.items():
+                        blobs[f"{f.name}.{cf.name}.{k}"] = a
+                else:
+                    blobs[f"{f.name}.{cf.name}"] = np.asarray(cv)
+            meta["plans"][f.name] = spec
         else:
             blobs[f.name] = np.asarray(v)
     blobs["__meta__"] = np.frombuffer(
@@ -97,17 +117,40 @@ def load_graph(path: str) -> Optional[Graph]:
                 plan_arrays.setdefault(fname, {})[k] = z[key]
             else:
                 kwargs[key] = jnp.asarray(z[key])
-        for fname, spec in meta["plans"].items():
-            cls = _PLAN_TYPES[spec["type"]]
-            statics = {k: _tuplify(v) for k, v in spec["statics"].items()}
-            arrays = {
-                k: jnp.asarray(a) for k, a in plan_arrays.get(fname, {}).items()
-            }
+        def _build_plan(cls, statics, arrays):
+            statics = {k: _tuplify(v) for k, v in statics.items()}
+            arrays = {k: jnp.asarray(a) for k, a in arrays.items()}
             # absent optional array fields -> None
             for f in dataclasses.fields(cls):
                 if not f.metadata.get("static") and f.name not in arrays:
                     arrays[f.name] = None
-            kwargs[fname] = cls(**arrays, **statics)
+            return cls(**arrays, **statics)
+
+        for fname, spec in meta["plans"].items():
+            if spec["type"] == "HybridPlan":
+                flat = plan_arrays.get(fname, {})
+                kids: dict = {}
+                for cname, cspec in spec["children"].items():
+                    sub = {
+                        k.split(".", 1)[1]: a
+                        for k, a in flat.items()
+                        if k.startswith(cname + ".")
+                    }
+                    kids[cname] = _build_plan(
+                        _PLAN_TYPES[cspec["type"]], cspec["statics"], sub
+                    )
+                for cf in dataclasses.fields(HybridPlan):
+                    if cf.name in kids:
+                        continue
+                    kids[cf.name] = (
+                        jnp.asarray(flat[cf.name]) if cf.name in flat else None
+                    )
+                kwargs[fname] = HybridPlan(**kids)
+            else:
+                kwargs[fname] = _build_plan(
+                    _PLAN_TYPES[spec["type"]], spec["statics"],
+                    plan_arrays.get(fname, {}),
+                )
     return Graph(**kwargs)
 
 

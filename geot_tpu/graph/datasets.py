@@ -122,6 +122,104 @@ def synthetic_graph(
     )
 
 
+def synthetic_clustered_graph(
+    num_nodes: int,
+    num_edges: int,
+    *,
+    mixing: float = 0.3,
+    mean_community: int = 2000,
+    power: float = 1.0,
+    feat_dim: int = 0,
+    num_classes: int = 0,
+    shuffle: bool = False,
+    seed: int = 0,
+    name: str = "synthetic-clustered",
+) -> GraphData:
+    """Degree-corrected planted-partition graph (community-structured).
+
+    The uniform-src generator in `synthetic_graph` is the worst case for any
+    locality-exploiting SpMM schedule: sources of a destination window are
+    spread uniformly over the whole node range, so (dst-window x src-block)
+    cells hold ~0-3 edges and column dedup ~= 1 (measured, RESULTS r2). Real
+    GNN benchmark graphs are strongly community-structured: ogbn-products is
+    an Amazon co-purchase graph with average clustering coefficient 0.411
+    (OGB paper, arXiv:2005.00687, Table 2) and Reddit/Amazon2M admit METIS
+    partitions that keep the large majority of edges intra-cluster — that
+    property is the entire premise of Cluster-GCN (arXiv:1905.07953) and of
+    the reference's vendored FlashSparse block-format baseline
+    (`/root/reference/baseline/FlashSparse/`, consumed via
+    `geot/format_preprocess.py:7-129`). This generator provides that regime
+    with a controllable knob:
+
+      * nodes are partitioned into communities with lognormal sizes around
+        `mean_community` (heavy right tail, like real community-size
+        distributions);
+      * destination degrees follow the same Zipf(`power`) skew as
+        `synthetic_graph` (hubs exist, inside their community);
+      * each edge's source is drawn from the destination's community with
+        probability ``1 - mixing``, else uniformly from the whole graph.
+
+    ``mixing=1`` degenerates to the uniform generator; ``mixing~0.2-0.5``
+    brackets the intra-cluster edge fractions METIS achieves on the real
+    graphs. Node ids are community-contiguous unless ``shuffle=True``
+    (use `geot_tpu.graph.reorder` to recover locality from shuffled ids).
+    """
+    rng = np.random.default_rng(seed)
+    # community sizes: lognormal, clipped, partitioning [0, num_nodes)
+    sizes = []
+    total = 0
+    while total < num_nodes:
+        s = int(np.clip(rng.lognormal(np.log(mean_community), 0.8), 16, num_nodes))
+        s = min(s, num_nodes - total)
+        sizes.append(s)
+        total += s
+    sizes = np.asarray(sizes, np.int64)
+    offsets = np.zeros(len(sizes) + 1, np.int64)
+    np.cumsum(sizes, out=offsets[1:])
+
+    # zipf-skewed dst (same scheme as synthetic_graph)
+    ranks = np.arange(1, num_nodes + 1, dtype=np.float64)
+    probs = ranks ** (-power)
+    cdf = np.cumsum(probs)
+    cdf /= cdf[-1]
+    # ranks permuted so hubs are spread across communities, not all in c0
+    rank_of_node = rng.permutation(num_nodes)
+    node_of_rank = np.argsort(rank_of_node)
+    dst = node_of_rank[np.searchsorted(cdf, rng.random(num_edges))].astype(np.int32)
+
+    comm = (np.searchsorted(offsets, dst, side="right") - 1).astype(np.int64)
+    intra = rng.random(num_edges) >= mixing
+    src = rng.integers(0, num_nodes, size=num_edges, dtype=np.int64)
+    lo = offsets[comm[intra]]
+    span = sizes[comm[intra]]
+    src[intra] = lo + (rng.random(int(intra.sum())) * span).astype(np.int64)
+    src = src.astype(np.int32)
+
+    if shuffle:
+        perm = rng.permutation(num_nodes).astype(np.int32)
+        src, dst = perm[src], perm[dst]
+
+    x = y = None
+    train = val = test = None
+    if feat_dim:
+        x = rng.standard_normal((num_nodes, feat_dim), dtype=np.float32)
+    if num_classes:
+        y = (comm if not shuffle else comm).astype(np.int32) % num_classes
+        y = rng.integers(0, num_classes, size=num_nodes).astype(np.int32)
+        idx = rng.permutation(num_nodes)
+        n_tr, n_va = int(0.6 * num_nodes), int(0.2 * num_nodes)
+        train = np.zeros(num_nodes, dtype=bool)
+        val = np.zeros(num_nodes, dtype=bool)
+        test = np.zeros(num_nodes, dtype=bool)
+        train[idx[:n_tr]] = True
+        val[idx[n_tr : n_tr + n_va]] = True
+        test[idx[n_tr + n_va :]] = True
+    return GraphData(
+        src=src, dst=dst, num_nodes=num_nodes, x=x, y=y,
+        train_mask=train, val_mask=val, test_mask=test, name=name,
+    )
+
+
 def synthetic_classification_graph(
     num_nodes: int,
     num_edges: int,

@@ -1,0 +1,369 @@
+"""Output-stationary streaming SpMM plan (gather-free path).
+
+The round-2 dissection established that XLA's random row gather is
+issue-bound (~3.1 ns/row from small tables, ~12 ns/row in context from a
+products-scale 1.25 GB table) and caps every gather-based SpMM at
+0.04-0.16 of the HBM roofline. This module implements the architecture
+that escapes that floor — the TPU dual of the reference's rowcaching
+`csr_gws` kernel (`/root/reference/csrc/cuda/csr_gws_kernel.cuh:12-187`,
+which stages nnz values in shared memory close to compute):
+
+  * edges are re-sorted by (dst window, src block) **cells**
+    (window = ``s_tile`` output rows, block = ``x_rows`` rows of x);
+  * each tile holds ``e_tile`` edge slots of ONE cell;
+  * the Pallas kernel keeps the dst-window accumulator in VMEM (the
+    existing flush-once machinery), pulls tile t's x block via a
+    scalar-prefetched per-tile block index (a sequential *stream*, double
+    buffered by the Pallas pipeline — never a row gather), and selects the
+    edge's source rows with a src one-hot matmul on the MXU.
+
+Measured on TPU v5e (scratch_r3/probe_stream*.py): 3.8-5.1 ns/edge at
+tile fill >= 0.9 for (e_tile=512-1024, x_rows=256, s_tile=256), vs
+15.1 ns/edge for the BAT+gather path at products scale. The cost scales
+inversely with tile fill, so cells with few edges are WORSE than the
+gather path — the builder therefore **splits** the edge list: cells with
+at least ``tau`` edges stream; the remainder keeps the BAT+gather path,
+and the two partial results add (both paths produce [padded_segments, F]).
+On a uniform-random graph everything lands in the remainder and behavior
+degenerates to the round-2 BAT path; on community-structured graphs
+(real ogbn-products/reddit — see `synthetic_clustered_graph`) most edges
+stream. The split threshold and fraction are decided from a host-side
+cell census — the measurable graph statistic the locality dispatch keys
+on.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geot_tpu.graph.plan import MAX_PREFETCH_TILES, compute_chunks
+
+__all__ = [
+    "StreamPlan",
+    "HybridPlan",
+    "build_stream_split_host",
+    "stream_plan_from_host",
+    "cell_census",
+]
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StreamPlan:
+    """Cell-sorted streaming execution plan.
+
+    Array fields (T tiles, E = e_tile):
+      out_block: [T] int32 — output window per tile, non-decreasing; every
+        window in [0, n_blocks) appears at least once (coverage).
+      sblock:    [T] int32 — x block streamed for tile t (block b covers x
+        rows [b*x_rows, (b+1)*x_rows)).
+      dst3:      [T, 1, E] int32 — global dst ids, -1 on padding slots.
+      srcl3:     [T, 1, E] int32 — block-local src ids (src - sblock*x_rows),
+        -1 on padding (matches no one-hot row -> contributes nothing).
+      w3:        [T, 1, E] float32 or None — static per-slot weights (0 pad).
+      edge_pos:  [T, 1, E] int32 or None — slot -> index into the caller's
+        dst-sorted edge arrays (0 on padding; pads contribute nothing via
+        srcl3 = -1), for routing dynamic per-call weights.
+    """
+
+    out_block: jax.Array
+    sblock: jax.Array
+    dst3: jax.Array
+    srcl3: jax.Array
+    w3: Optional[jax.Array]
+    edge_pos: Optional[jax.Array]
+    e_tile: int = dataclasses.field(metadata=dict(static=True))
+    s_tile: int = dataclasses.field(metadata=dict(static=True))
+    x_rows: int = dataclasses.field(metadata=dict(static=True))
+    num_segments: int = dataclasses.field(metadata=dict(static=True))
+    n_blocks: int = dataclasses.field(metadata=dict(static=True))
+    n_xblocks: int = dataclasses.field(metadata=dict(static=True))
+    num_edges: int = dataclasses.field(metadata=dict(static=True))
+    chunks: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+    chunk_blocks: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+    @property
+    def num_tiles(self) -> int:
+        return self.out_block.shape[0]
+
+    @property
+    def padded_segments(self) -> int:
+        return self.n_blocks * self.s_tile
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HybridPlan:
+    """Streamed dense cells + gather remainder (see module docstring).
+
+    stream: StreamPlan over the cells worth streaming.
+    rest:   BatPlan over the remaining (dst-sorted) edges, or None when
+            every edge streams.
+    rest_src: [nnz_rest] int32 gather indices for the remainder.
+    rest_w:   [nnz_rest] float32 static weights for the remainder, or None.
+    """
+
+    stream: StreamPlan
+    rest: Optional[object]  # BatPlan
+    rest_src: Optional[jax.Array]
+    rest_w: Optional[jax.Array]
+
+
+def cell_census(
+    dst: np.ndarray,
+    src: np.ndarray,
+    *,
+    s_tile: int = 256,
+    x_rows: int = 256,
+) -> dict:
+    """Histogram of (dst window, src block) cell sizes — the dispatch
+    statistic for the streaming path (and the successor of
+    `graph.block_format.block_stats` as the locality measure with an
+    execution-path consumer)."""
+    w = np.asarray(dst, np.int64) // s_tile
+    b = np.asarray(src, np.int64) // x_rows
+    key = w << 32 | b
+    _, cnt = np.unique(key, return_counts=True)
+    out = dict(
+        n_cells=int(len(cnt)),
+        mean=float(cnt.mean()) if len(cnt) else 0.0,
+        median=float(np.median(cnt)) if len(cnt) else 0.0,
+    )
+    for tau in (64, 128, 256, 512):
+        out[f"frac_ge_{tau}"] = (
+            float(cnt[cnt >= tau].sum()) / max(len(dst), 1)
+        )
+    return out
+
+
+def build_stream_split_host(
+    dst: np.ndarray,
+    src: np.ndarray,
+    num_segments: int,
+    num_src: int,
+    *,
+    s_tile: int = 256,
+    x_rows: int = 256,
+    e_tile: int = 0,  # 0 = pick from the census
+    gather_ns: float = 0.0,  # 0 = estimate from table size
+    feature_hint: int = 128,
+    edge_weight: Optional[np.ndarray] = None,
+    min_stream_frac: float = 0.25,
+    max_chunk_tiles: int = MAX_PREFETCH_TILES,
+    build_edge_pos: bool = False,
+) -> Tuple[Optional[dict], Optional[dict], np.ndarray, dict]:
+    """Split a dst-sorted edge list into (stream plan, gather remainder).
+
+    Returns (arrays, meta, rest_mask, stats): `arrays`/`meta` feed
+    `stream_plan_from_host` (None if streaming isn't worth it for this
+    graph), `rest_mask` is a bool[nnz] marking edges routed to the gather
+    (BAT) path — order-preserving, so the masked sub-list stays dst-sorted.
+
+    The split threshold tau comes from measured per-edge costs: a streamed
+    cell costs ~ceil(cnt/E)*E*c_slot ns (c_slot ~= 4.3 ns/slot at
+    E=512, S=W=256 — probe_stream2) vs cnt*(gather + kernel) on the BAT
+    path, where gather ~= 3.5 ns/row from small tables and ~12 ns/row at
+    1 GB+ tables (RESULTS r2). Cells stream when they are cheaper streamed.
+    """
+    dst = np.asarray(dst, np.int64)
+    src = np.asarray(src, np.int64)
+    nnz = len(dst)
+    n_blocks = max(_cdiv(max(num_segments, 1), s_tile), 1)
+    n_xb = max(_cdiv(max(num_src, 1), x_rows), 1)
+    stats: dict = {}
+    if nnz == 0:
+        return None, None, np.zeros(0, bool), stats
+
+    if gather_ns <= 0:
+        table_bytes = num_src * max(feature_hint, 1) * 4
+        # measured: ~3.5 ns/row small tables -> ~12 ns/row at 1.25 GB
+        gather_ns = float(np.interp(table_bytes, [128e6, 1.25e9], [3.5, 12.0]))
+    C_SLOT = 4.3  # ns per tile slot, measured (probe_stream2, f32)
+    BAT_KERNEL_NS = 3.65  # ns per edge, measured (RESULTS r2)
+    bat_edge_ns = gather_ns + BAT_KERNEL_NS
+
+    w = dst // s_tile
+    b = src // x_rows
+    key = w * n_xb + b
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    head = np.empty(nnz, bool)
+    head[0] = True
+    np.not_equal(key_s[1:], key_s[:-1], out=head[1:])
+    cell_start = np.nonzero(head)[0]
+    cell_cnt = np.diff(np.concatenate([cell_start, [nnz]]))
+
+    # pick e_tile: minimize total streamed cost across E choices
+    choices = (e_tile,) if e_tile else (256, 512, 1024)
+    best = None
+    for E in choices:
+        tau = max(int(E * C_SLOT / bat_edge_ns) + 1, 32)
+        sel = cell_cnt >= tau
+        streamed = int(cell_cnt[sel].sum())
+        tiles = int(np.sum(_cdiv(cell_cnt[sel], E)))
+        cost = tiles * E * C_SLOT + (nnz - streamed) * bat_edge_ns
+        if best is None or cost < best[0]:
+            best = (cost, E, tau, sel, streamed, tiles)
+    _, E, tau, sel_cells, streamed, T_est = best
+    stream_frac = streamed / nnz
+    stats.update(
+        e_tile=E, tau=tau, stream_frac=stream_frac,
+        n_cells=len(cell_cnt), n_stream_cells=int(sel_cells.sum()),
+        gather_ns=gather_ns,
+        est_stream_ms=T_est * E * C_SLOT / 1e6,
+        est_bat_ms=(nnz - streamed) * bat_edge_ns / 1e6,
+        est_all_bat_ms=nnz * bat_edge_ns / 1e6,
+    )
+    if stream_frac < min_stream_frac:
+        return None, None, np.ones(nnz, bool), stats
+
+    # membership of each (sorted) edge: does its cell stream?
+    edge_sel_sorted = np.repeat(sel_cells, cell_cnt)
+    s_order = order[edge_sel_sorted]  # cell-sorted positions of streamed edges
+    rest_mask = np.ones(nnz, bool)
+    rest_mask[s_order] = False
+    s_dst = dst[s_order]
+    s_src = src[s_order]
+    s_cnt = cell_cnt[sel_cells]
+    s_start = np.zeros(len(s_cnt) + 1, np.int64)
+    np.cumsum(s_cnt, out=s_start[1:])
+    n_se = int(s_start[-1])
+    s_keys = key_s[cell_start[sel_cells]]
+    cell_w = (s_keys // n_xb).astype(np.int32)
+    cell_b = (s_keys % n_xb).astype(np.int32)
+    tiles_per_cell = _cdiv(s_cnt, E)
+    T = int(tiles_per_cell.sum())
+    ob = np.repeat(cell_w, tiles_per_cell)
+    sb = np.repeat(cell_b, tiles_per_cell)
+    tile_of_cell = np.zeros(len(s_cnt) + 1, np.int64)
+    np.cumsum(tiles_per_cell, out=tile_of_cell[1:])
+    pos_in_cell = np.arange(n_se) - np.repeat(s_start[:-1], s_cnt)
+    tile_idx = np.repeat(tile_of_cell[:-1], s_cnt) + pos_in_cell // E
+    slot = tile_idx * E + pos_in_cell % E
+    dst_slots = np.full(T * E, -1, np.int32)
+    srcl = np.full(T * E, -1, np.int32)
+    dst_slots[slot] = s_dst
+    srcl[slot] = (s_src % x_rows).astype(np.int32)
+    w3 = None
+    if edge_weight is not None:
+        w3 = np.zeros(T * E, np.float32)
+        w3[slot] = np.asarray(edge_weight, np.float32)[s_order]
+    edge_pos = None
+    if build_edge_pos:
+        edge_pos = np.zeros(T * E, np.int32)
+        edge_pos[slot] = s_order.astype(np.int32)
+
+    # coverage tiles for windows with no streamed cells
+    missing = np.setdiff1d(np.arange(n_blocks, dtype=np.int32), cell_w)
+    if len(missing):
+        T2 = T + len(missing)
+        ob = np.concatenate([ob, missing])
+        sb = np.concatenate([sb, np.zeros(len(missing), np.int32)])
+        o2 = np.argsort(ob, kind="stable")
+        pad_rows = np.full((len(missing), E), -1, np.int32)
+        dst_slots = np.concatenate([dst_slots.reshape(T, E), pad_rows])[o2]
+        srcl = np.concatenate([srcl.reshape(T, E), pad_rows])[o2]
+        if w3 is not None:
+            w3 = np.concatenate(
+                [w3.reshape(T, E), np.zeros((len(missing), E), np.float32)]
+            )[o2]
+        if edge_pos is not None:
+            edge_pos = np.concatenate(
+                [edge_pos.reshape(T, E), np.zeros((len(missing), E), np.int32)]
+            )[o2]
+        ob, sb = ob[o2], sb[o2]
+        # keep sblock non-decreasing within runs where possible: coverage
+        # tiles reuse the previous tile's block to skip a DMA re-fetch
+        T = T2
+        dst_slots = dst_slots.reshape(-1)
+        srcl = srcl.reshape(-1)
+        if w3 is not None:
+            w3 = w3.reshape(-1)
+        if edge_pos is not None:
+            edge_pos = edge_pos.reshape(-1)
+
+    arrays = dict(
+        out_block=ob.astype(np.int32),
+        sblock=sb.astype(np.int32),
+        dst3=dst_slots.reshape(T, 1, E),
+        srcl3=srcl.reshape(T, 1, E),
+    )
+    if w3 is not None:
+        arrays["w3"] = w3.reshape(T, 1, E)
+    if edge_pos is not None:
+        arrays["edge_pos"] = edge_pos.reshape(T, 1, E)
+    meta = dict(
+        e_tile=E,
+        s_tile=int(s_tile),
+        x_rows=int(x_rows),
+        num_segments=int(num_segments),
+        n_blocks=int(n_blocks),
+        n_xblocks=int(n_xb),
+        num_edges=int(n_se),
+        chunks=compute_chunks(arrays["out_block"], max_chunk_tiles),
+        chunk_blocks=0,
+    )
+    _uniformize_stream_chunks(arrays, meta)
+    stats["n_tiles"] = int(arrays["out_block"].shape[0])
+    stats["fill"] = n_se / max(arrays["out_block"].shape[0] * E, 1)
+    return arrays, meta, rest_mask, stats
+
+
+def _uniformize_stream_chunks(arrays: dict, meta: dict) -> None:
+    """Pad every chunk to identical (tiles, windows) so the scan executor
+    compiles ONE chunk body (cf. `plan._uniformize_bat_chunks`). Pad tiles
+    carry all--1 slots (contribute nothing) and cover the pad windows."""
+    chunks = meta["chunks"]
+    if not chunks:
+        return
+    E = meta["e_tile"]
+    T_max = max(t1 - t0 for t0, t1, _, _ in chunks)
+    W_max = max(w1 - w0 for _, _, w0, w1 in chunks)
+    n_c = len(chunks)
+    T_new = n_c * T_max
+    new = {
+        "out_block": np.zeros(T_new, np.int32),
+        "sblock": np.zeros(T_new, np.int32),
+        "dst3": np.full((T_new, 1, E), -1, np.int32),
+        "srcl3": np.full((T_new, 1, E), -1, np.int32),
+    }
+    if "w3" in arrays:
+        new["w3"] = np.zeros((T_new, 1, E), np.float32)
+    if "edge_pos" in arrays:
+        new["edge_pos"] = np.zeros((T_new, 1, E), np.int32)
+    new_chunks = []
+    for i, (t0, t1, w0, w1) in enumerate(chunks):
+        nt = t1 - t0
+        base = i * T_max
+        for k in new:
+            new[k][base : base + nt] = arrays[k][t0:t1]
+        pad_windows = list(range(w1, w0 + W_max))
+        pad_ob = (pad_windows + [w0 + W_max - 1] * T_max)[: T_max - nt]
+        new["out_block"][base + nt : base + T_max] = np.asarray(pad_ob, np.int32)
+        new_chunks.append((base, base + T_max, int(w0), int(w1)))
+    arrays.update(new)
+    meta["chunks"] = tuple(new_chunks)
+    meta["chunk_blocks"] = int(W_max)
+
+
+def stream_plan_from_host(arrays: dict, meta: dict) -> StreamPlan:
+    return StreamPlan(
+        out_block=jnp.asarray(arrays["out_block"]),
+        sblock=jnp.asarray(arrays["sblock"]),
+        dst3=jnp.asarray(arrays["dst3"]),
+        srcl3=jnp.asarray(arrays["srcl3"]),
+        w3=jnp.asarray(arrays["w3"]) if "w3" in arrays else None,
+        edge_pos=(
+            jnp.asarray(arrays["edge_pos"]) if "edge_pos" in arrays else None
+        ),
+        **meta,
+    )

@@ -75,6 +75,13 @@ class Graph:
     # built for large node tables; static/baked-weight fast path only
     bat_b: Optional[object] = None
     bat_b_t: Optional[object] = None
+    # hybrid stream+gather plans (community-structured graphs): dense
+    # (dst-window x src-block) cells run the gather-free streaming kernel,
+    # sparse cells keep the BAT+gather path (`graph/stream_plan.py`).
+    # Static/baked-weight fast path; None when the cell census says the
+    # graph has no locality worth streaming.
+    hyb: Optional[object] = None
+    hyb_t: Optional[object] = None
     num_nodes: int = dataclasses.field(default=0, metadata=dict(static=True))
     # measured-table layout preference for the fused SpMM (static-weight /
     # per-call-weight op families): 'bat', 'bat_packed', 'sr', 'packed' —
@@ -119,7 +126,7 @@ def build_graph(
     bat_s_tile: Optional[int] = None,
     feature_hint: int = 128,
     assume_sorted: bool = False,
-    layouts: Tuple[str, ...] = ("bat", "slot"),
+    layouts: Tuple[str, ...] = ("bat", "slot", "stream"),
 ) -> Graph:
     """Host-side graph preprocessing: sort by dst, build fwd + transpose plans.
 
@@ -264,6 +271,56 @@ def build_graph(
                 ),
                 e_tile=bat_e, s_tile=bat_s, max_chunk_tiles=mct,
             )
+    # hybrid stream+gather plans: the cell census decides whether the
+    # graph's community structure makes the gather-free streaming kernel
+    # worth it (build_stream_split_host returns None otherwise). Wide
+    # features only — the streaming kernel has no packed narrow-N layout.
+    hyb = hyb_t = None
+    if "stream" in layouts and nw == 0 and len(src):
+        from geot_tpu.graph.stream_plan import (
+            HybridPlan,
+            build_stream_split_host,
+            stream_plan_from_host,
+        )
+
+        def _build_hyb(d_sorted, g_idx, w_e):
+            arrs, meta, rest_mask, _st = build_stream_split_host(
+                d_sorted, g_idx, num_nodes, num_nodes,
+                edge_weight=w_e, feature_hint=feature_hint,
+            )
+            if arrs is None:
+                return None
+            sp = stream_plan_from_host(arrs, meta)
+            rest = rest_src = rest_w = None
+            if rest_mask.any():
+                row_b = max(feature_hint or 128, 1) * 4
+                budget = int(os.environ.get("GEOT_MAX_CHUNK_BYTES", 1 << 30))
+                be = bat_e_tile or 1024
+                mct_r = max(min(MAX_PREFETCH_TILES, budget // (row_b * be)), 1)
+                from geot_tpu.graph.plan import build_bat_plan as _bbp
+
+                rest = _bbp(
+                    d_sorted[rest_mask], num_nodes, e_tile=be,
+                    s_tile=bat_s_tile or s_tile, max_chunk_tiles=mct_r,
+                )
+                rest_src = jnp.asarray(g_idx[rest_mask].astype(np.int32))
+                rest_w = (
+                    None if w_e is None
+                    else jnp.asarray(w_e[rest_mask].astype(np.float32))
+                )
+            return HybridPlan(sp, rest, rest_src, rest_w)
+
+        hyb = _build_hyb(dst, src, edge_weight)
+        if hyb is not None:
+            hyb_t = _build_hyb(
+                src_t, dst[perm_t],
+                None if edge_weight is None else edge_weight[perm_t],
+            )
+            if hyb_t is None:
+                # forward streams but transpose doesn't (asymmetric
+                # locality): keep both on the gather path — autograd needs
+                # the pair
+                hyb = None
     return Graph(
         src=jnp.asarray(src),
         dst=jnp.asarray(dst),
@@ -278,6 +335,8 @@ def build_graph(
         bat_t=bat_t,
         bat_b=bat_b,
         bat_b_t=bat_b_t,
+        hyb=hyb,
+        hyb_t=hyb_t,
         dst_t=jnp.asarray(dst[perm_t]),
         edge_weight_t=(
             None if edge_weight is None else jnp.asarray(edge_weight[perm_t])

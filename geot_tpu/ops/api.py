@@ -719,6 +719,100 @@ def _spmm_fwd_bat(bp: BatPlan, x, src, w_edge, token_gate=True):
     return out[:, :n] if x.shape[1] != n else out
 
 
+def _stream_sum(sp, x: jax.Array) -> jax.Array:
+    """Gather-free streaming segment sum over a StreamPlan (weights, if
+    any, are baked into sp.w3 at build). Returns [num_segments, n]."""
+    from geot_tpu.ops.pallas_segment import stream_segment_sum
+
+    n = x.shape[1]
+    f_tile = _pick_f_tile(n)
+    f_pad = _round_up(max(n, 1), f_tile)
+    rows_pad = sp.n_xblocks * sp.x_rows
+    if f_pad != n or rows_pad != x.shape[0]:
+        x = jnp.pad(x, ((0, rows_pad - x.shape[0]), (0, f_pad - n)))
+    s = sp.s_tile
+
+    if not sp.chunks:
+        out = stream_segment_sum(
+            sp.out_block, sp.sblock, sp.dst3, sp.srcl3, x, sp.w3,
+            s_tile=s, x_rows=sp.x_rows, n_blocks=sp.n_blocks, f_tile=f_tile,
+        )
+        return out[: sp.num_segments, :n]
+
+    # uniform chunks under lax.scan: ONE compiled chunk body; chunk outputs
+    # overlap only on hub-split boundary windows, so accumulating each
+    # chunk's [W_c*s, f] block into the carry at w0*s is exact (same stitch
+    # as `_bat_sum_scan`)
+    import numpy as np
+
+    C = len(sp.chunks)
+    T_c = sp.chunks[0][1] - sp.chunks[0][0]
+    W_c = sp.chunk_blocks
+    assert all(t1 - t0 == T_c for t0, t1, _, _ in sp.chunks)
+    w0s = jnp.asarray(np.asarray([c[2] for c in sp.chunks], np.int32))
+    w1s = jnp.asarray(np.asarray([c[3] for c in sp.chunks], np.int32))
+    ob2 = sp.out_block.reshape(C, T_c) - w0s[:, None]
+    sb2 = sp.sblock.reshape(C, T_c)
+    dst2 = sp.dst3.reshape(C, T_c, 1, sp.e_tile)
+    srcl2 = sp.srcl3.reshape(C, T_c, 1, sp.e_tile)
+    w2 = None if sp.w3 is None else sp.w3.reshape(C, T_c, 1, sp.e_tile)
+
+    def body(carry, xs):
+        if w2 is None:
+            w0, w1, ob_i, sb_i, dst_i, srcl_i = xs
+            w_i = None
+        else:
+            w0, w1, ob_i, sb_i, dst_i, srcl_i, w_i = xs
+        out_c = stream_segment_sum(
+            ob_i, sb_i, dst_i - w0 * s, srcl_i, x, w_i,
+            s_tile=s, x_rows=sp.x_rows, n_blocks=W_c, f_tile=f_tile,
+        ).astype(jnp.float32)
+        # rows past the chunk's REAL windows may be uninitialized kernel
+        # output (full chunks have no spare tile to cover pad windows) —
+        # they must not reach the carry
+        rows = jax.lax.broadcasted_iota(jnp.int32, (W_c * s, 1), 0)
+        out_c = jnp.where(rows < (w1 - w0) * s, out_c, 0.0)
+        off = w0 * s
+        cur = jax.lax.dynamic_slice(carry, (off, 0), (W_c * s, f_pad))
+        return jax.lax.dynamic_update_slice(carry, cur + out_c, (off, 0)), None
+
+    carry0 = jnp.zeros((sp.n_blocks * s + W_c * s, f_pad), jnp.float32)
+    xs = (w0s, w1s, ob2, sb2, dst2, srcl2)
+    if w2 is not None:
+        xs = xs + (w2,)
+    out, _ = jax.lax.scan(body, carry0, xs)
+    return out[: sp.num_segments, :n].astype(x.dtype)
+
+
+def _spmm_fwd_hybrid(hyb, x: jax.Array) -> jax.Array:
+    """Streamed dense cells + BAT+gather remainder; partial sums add.
+    Weights (if any) were baked into both parts at graph build."""
+    out = _stream_sum(hyb.stream, x)
+    if hyb.rest is not None:
+        out = out + _spmm_fwd_bat(hyb.rest, x, hyb.rest_src, hyb.rest_w)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _make_spmm_hybrid():
+    """Fused SpMM over hybrid stream+gather plans (static/no weights, baked
+    at build); backward = transpose hybrid, like the other static paths."""
+
+    @jax.custom_vjp
+    def f(x, hyb, hyb_t):
+        return _spmm_fwd_hybrid(hyb, x)
+
+    def fwd(x, hyb, hyb_t):
+        return f(x, hyb, hyb_t), (hyb_t,)
+
+    def bwd(res, g):
+        (hyb_t,) = res
+        return (_spmm_fwd_hybrid(hyb_t, g), None, None)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 @functools.lru_cache(maxsize=None)
 def _make_gs_bat(use_pallas: bool):
     """Unweighted fused SpMM over BAT plans; backward = transpose BAT."""
@@ -1124,6 +1218,15 @@ def segment_spmm(
     )
     bat_dyn = use_bat and (graph.prefer_dyn.startswith("bat") or not have_slot)
     if (
+        reduce in ("sum", "mean")
+        and edge_weight is None
+        and use_p
+        and getattr(graph, "hyb", None) is not None
+    ):
+        # community-structured graphs: gather-free streamed cells + BAT
+        # remainder (weights baked at build; covers weighted and unweighted)
+        out = _make_spmm_hybrid()(x, graph.hyb, graph.hyb_t)
+    elif (
         reduce in ("sum", "mean")
         and edge_weight is None
         and graph.edge_weight is not None

@@ -47,6 +47,7 @@ __all__ = [
     "plan_segment_sum_packed2",
     "bat_segment_sum",
     "bat_segment_sum_packed",
+    "stream_segment_sum",
     "default_interpret",
 ]
 
@@ -985,6 +986,126 @@ def bat_segment_sum_packed(
         out_shape=jax.ShapeDtypeStruct((bp.n_blocks * s_tile, n_feat), out_dtype),
         interpret=interpret,
     )(bp.out_block, bp.vblock, *operands)
+
+
+# ---------------------------------------------------------------------------
+# v4 kernel: output-stationary streaming (gather-free SpMM)
+#
+# Tiles are (output window, x block) cell incidences (see
+# `geot_tpu.graph.stream_plan`). The kernel streams tile t's x block
+# [x_rows, f_tile] through the Pallas pipeline (scalar-prefetch-driven
+# BlockSpec — a sequential block DMA, never a row gather), selects each
+# edge's source row with a src one-hot matmul on the MXU, and reduces into
+# the VMEM-resident window accumulator with the usual dst one-hot. This is
+# the TPU dual of the reference's rowcaching csr_gws kernel
+# (`csrc/cuda/csr_gws_kernel.cuh:12-187`): fast-memory staging of operands
+# next to compute instead of random global loads. Measured 3.8-5.1 ns/edge
+# at fill >= 0.9 (probe_stream2) vs ~15 ns/edge for gather+BAT at products
+# scale.
+# ---------------------------------------------------------------------------
+
+
+def _stream_kernel(*refs, s_tile, x_rows, has_w):
+    ob_ref, sb_ref = refs[0], refs[1]
+    i = 2
+    dst_ref = refs[i]; i += 1
+    srcl_ref = refs[i]; i += 1
+    w_ref = None
+    if has_w:
+        w_ref = refs[i]; i += 1
+    x_ref = refs[i]; i += 1
+    o_ref, acc_ref = refs[i], refs[i + 1]
+
+    t = pl.program_id(1)
+    n_t = pl.num_programs(1)
+    cur = ob_ref[t]
+    first = jnp.logical_or(t == 0, ob_ref[jnp.maximum(t - 1, 0)] != cur)
+    last = jnp.logical_or(t == n_t - 1, ob_ref[jnp.minimum(t + 1, n_t - 1)] != cur)
+
+    srcl = srcl_ref[0, 0, :]  # [E] block-local src ids, -1 on padding
+    e_tile = srcl.shape[0]
+    # select: vals[E, f] = onehot(srcl)[E, x_rows] @ x_block[x_rows, f];
+    # padding (-1) matches no column -> zero rows
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (e_tile, x_rows), 1)
+    sel = (col_ids == srcl[:, None]).astype(jnp.float32)
+    vals = _onehot_dot(sel, x_ref[:])  # [E, f] f32
+    if w_ref is not None:
+        vals = vals * w_ref[0, 0, :][:, None]
+    local = dst_ref[0, 0, :] - cur * s_tile  # -1 pads match no row
+    seg_ids = jax.lax.broadcasted_iota(jnp.int32, (s_tile, e_tile), 0)
+    onehot = (seg_ids == local[None, :]).astype(jnp.float32)
+    part = _onehot_dot(onehot, vals)
+
+    @pl.when(first)
+    def _():
+        acc_ref[:] = part
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        acc_ref[:] = acc_ref[:] + part
+
+    @pl.when(last)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def stream_segment_sum(
+    ob: jax.Array,  # [T] int32 window per tile (chunk-local if chunked)
+    sb: jax.Array,  # [T] int32 x block per tile (global)
+    dst3: jax.Array,  # [T, 1, E] dst ids (window-local base: ob*s_tile)
+    srcl3: jax.Array,  # [T, 1, E] block-local src ids, -1 pad
+    x: jax.Array,  # [n_xblocks*x_rows, f_pad]
+    w3: Optional[jax.Array] = None,  # [T, 1, E] static slot weights
+    *,
+    s_tile: int,
+    x_rows: int,
+    n_blocks: int,
+    f_tile: int = 128,
+    out_dtype=None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Gather-free streaming segment-sum over cell-sorted tiles.
+
+    Returns [n_blocks*s_tile, f_pad]. Callers pass StreamPlan fields (or
+    chunk slices of them — see `api._stream_sum_scan`)."""
+    if interpret is None:
+        interpret = default_interpret()
+    T = ob.shape[0]
+    e_tile = dst3.shape[2]
+    f_pad = x.shape[1]
+    assert f_pad % f_tile == 0, (f_pad, f_tile)
+    assert x.shape[0] % x_rows == 0, (x.shape, x_rows)
+    n_f = f_pad // f_tile
+    out_dtype = out_dtype or x.dtype
+
+    in_specs = [
+        pl.BlockSpec((1, 1, e_tile), lambda f, t, ob, sb: (t, 0, 0)),
+        pl.BlockSpec((1, 1, e_tile), lambda f, t, ob, sb: (t, 0, 0)),
+    ]
+    operands = [dst3, srcl3]
+    if w3 is not None:
+        in_specs += [pl.BlockSpec((1, 1, e_tile), lambda f, t, ob, sb: (t, 0, 0))]
+        operands += [w3]
+    in_specs += [
+        pl.BlockSpec((x_rows, f_tile), lambda f, t, ob, sb: (sb[t], f)),
+    ]
+    operands += [x]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_f, T),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((s_tile, f_tile), lambda f, t, ob, sb: (ob[t], f)),
+        scratch_shapes=[pltpu.VMEM((s_tile, f_tile), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _stream_kernel, s_tile=s_tile, x_rows=x_rows, has_w=w3 is not None
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks * s_tile, f_pad), out_dtype),
+        interpret=interpret,
+    )(ob, sb, *operands)
 
 
 def plan_segment_sum_sr(

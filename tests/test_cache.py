@@ -30,6 +30,12 @@ def test_graph_npz_roundtrip(tmp_path, monkeypatch):
     assert g2.prefer == g.prefer and g2.prefer_dyn == g.prefer_dyn
     np.testing.assert_array_equal(np.asarray(g2.dst), np.asarray(g.dst))
     assert g2.bat.chunks == g.bat.chunks
+    if g.hyb is not None:  # hybrid stream plans round-trip too
+        assert g2.hyb is not None
+        np.testing.assert_array_equal(
+            np.asarray(g2.hyb.stream.srcl3), np.asarray(g.hyb.stream.srcl3)
+        )
+        assert (g2.hyb.rest is None) == (g.hyb.rest is None)
     assert g2.bat_b.bucket_rows == g.bat_b.bucket_rows
     np.testing.assert_array_equal(
         np.asarray(g2.bat.dst3), np.asarray(g.bat.dst3)
