@@ -63,14 +63,29 @@ dataset = sys.argv[1]
 n_feat = int(sys.argv[2])
 on_tpu = jax.default_backend() in ("tpu", "axon")
 backend = "pallas" if on_tpu else "reference"
-n_nodes, n_edges, _, _ = DATASET_SHAPES[dataset]
-d = synthetic_graph(n_nodes, n_edges, power=1.0, seed=0, name=dataset)
+# "<name>-clustered" = community-structured synthetic (mixing=0.3 — a
+# conservative stand-in for the intra-cluster edge fractions METIS reports
+# on the real graphs; see graph/datasets.synthetic_clustered_graph). The
+# plain name keeps the uniform-src worst case for comparison.
+base = dataset.removesuffix("-clustered")
+n_nodes, n_edges, _, _ = DATASET_SHAPES[base]
+if dataset.endswith("-clustered"):
+    from geot_tpu.graph.datasets import synthetic_clustered_graph
+    d = synthetic_clustered_graph(
+        n_nodes, n_edges, mixing=0.3, mean_community=2000, power=1.0,
+        seed=0, name=dataset,
+    )
+else:
+    d = synthetic_graph(n_nodes, n_edges, power=1.0, seed=0, name=dataset)
 rng = np.random.default_rng(0)
 w_host = rng.standard_normal(d.num_edges).astype(np.float32)
 # static weights baked into the graph (the GCN model path: weights are
 # graph data, slot-ordered once at build). BAT-only layouts at large
 # scale: slot plans are ~3 GB of HBM the BAT execution path never reads.
-layouts = ("bat",) if n_edges > 20_000_000 else ("bat", "slot")
+# "stream" adds the gather-free hybrid plan where the cell census pays.
+layouts = (
+    ("bat", "stream") if n_edges > 20_000_000 else ("bat", "slot", "stream")
+)
 g = cached_build(
     f"bench-{dataset}-N{n_feat}-{'-'.join(layouts)}",
     lambda: prepare_graph(
@@ -152,7 +167,10 @@ def _measure(dataset: str, n_feat: int, env: dict) -> dict:
 def main() -> int:
     on_tpu = _probe_tpu()
     env = dict(os.environ) if on_tpu else _cpu_env()
-    default = "ogbn-products,ogbn-arxiv" if on_tpu else "ogbn-arxiv"
+    default = (
+        "ogbn-products-clustered,ogbn-products,ogbn-arxiv"
+        if on_tpu else "ogbn-arxiv"
+    )
     datasets = os.environ.get("GEOT_BENCH_DATASET", default).split(",")
     n_feat = int(os.environ.get("GEOT_BENCH_FEATURES", "128"))
 

@@ -187,8 +187,12 @@ def build_stream_split_host(
         table_bytes = num_src * max(feature_hint, 1) * 4
         # measured: ~3.5 ns/row small tables -> ~12 ns/row at 1.25 GB
         gather_ns = float(np.interp(table_bytes, [128e6, 1.25e9], [3.5, 12.0]))
-    C_SLOT = 4.3  # ns per tile slot, measured (probe_stream2, f32)
-    BAT_KERNEL_NS = 3.65  # ns per edge, measured (RESULTS r2)
+    # measured constants (TPU v5e): stream 3.2 ns/slot at products scale
+    # (202 ms / 62.9M slots, scratch_r3/prod_stream), a bit higher at small
+    # tile counts; BAT kernel ~3.65 ns/edge on a full graph, ~5.5 on the
+    # diluted remainder (380 ms / 20.2M rest edges minus gather)
+    C_SLOT = 3.4  # ns per tile slot, f32
+    BAT_KERNEL_NS = 5.0  # ns per edge on the (diluted) remainder
     bat_edge_ns = gather_ns + BAT_KERNEL_NS
 
     w = dst // s_tile

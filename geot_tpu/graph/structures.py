@@ -342,10 +342,18 @@ def build_graph(
             None if edge_weight is None else jnp.asarray(edge_weight[perm_t])
         ),
         num_nodes=int(num_nodes),
-        prefer=prefer if plan is not None or prefer.startswith("bat") else "bat",
+        # slot-mode preferences ('sr'/'packed') degrade to 'bat' when no
+        # slot plan was built; 'xla' needs no plan at all and is preserved
+        prefer=(
+            prefer
+            if plan is not None or prefer.startswith("bat") or prefer == "xla"
+            else "bat"
+        ),
         prefer_dyn=(
             prefer_dyn
-            if plan is not None or prefer_dyn.startswith("bat")
+            if plan is not None
+            or prefer_dyn.startswith("bat")
+            or prefer_dyn == "xla"
             else "bat"
         ),
     )

@@ -1115,6 +1115,19 @@ def index_scatter(
     if axis != 0:
         src = jnp.moveaxis(src, axis, 0)
     up = _use_pallas(backend) and plan is not None and reduce in ("sum", "mean")
+    if up and backend == "auto":
+        # latency-floor crossover: tiny (nnz, N) grids lose to XLA's fused
+        # scatter — consult the measured table / heuristic per call (the
+        # per-shape implementation pick of the reference's rule trees)
+        from geot_tpu.tuning.heuristics import select_config
+
+        n_flat = 1
+        for d in src.shape[1:]:
+            n_flat *= d
+        if select_config(
+            n_flat, src.shape[0], num_segments, op="index_scatter"
+        ).mode == "xla":
+            up = False
     if up:
         shape = src.shape
         vals = src.reshape(shape[0], -1)
@@ -1146,8 +1159,15 @@ def gather_scatter(
     Pass `graph` (a prebuilt `Graph` whose src/dst match the indices) to hit
     the Pallas plan path with transpose-plan backward.
     """
-    if graph is not None and _use_pallas(backend) and reduce in ("sum", "mean"):
-        if graph.bat is not None:
+    if (
+        graph is not None
+        and _use_pallas(backend)
+        and reduce in ("sum", "mean")
+        and not (backend == "auto" and graph.prefer == "xla")
+    ):
+        if getattr(graph, "hyb", None) is not None and graph.edge_weight is None:
+            out = _make_spmm_hybrid()(src, graph.hyb, graph.hyb_t)
+        elif graph.bat is not None:
             out = _make_gs_bat(True)(
                 src, graph.src, graph.dst, graph.dst_t, graph.bat, graph.bat_t
             )
@@ -1155,7 +1175,10 @@ def gather_scatter(
             out = _make_gs(True)(
                 src, graph.src, graph.dst, graph.plan, graph.plan_t, graph.perm_t
             )
-        return _apply_reduce_post(out, graph.plan, reduce, backend)
+        return _apply_reduce_post(
+            out, graph.plan if graph.plan is not None else graph.bat,
+            reduce, backend,
+        )
     return ref.gather_scatter_ref(src_index, dst_index, src, num_segments, reduce)
 
 
@@ -1172,7 +1195,14 @@ def gather_weight_scatter(
 ) -> jax.Array:
     """Edge-weighted fused SpMM: out[dst[e]] ⊕= weight[e] * src[src[e]].
     Reference: `geot/gather_weight_scatter.py:4-51`."""
-    if graph is not None and _use_pallas(backend) and reduce in ("sum", "mean"):
+    if (
+        graph is not None
+        and _use_pallas(backend)
+        and reduce in ("sum", "mean")
+        # latency-floor crossover: below the measured floor the XLA
+        # reference path wins outright (table decision at graph build)
+        and not (backend == "auto" and graph.prefer_dyn == "xla")
+    ):
         if graph.bat is not None and (
             graph.prefer_dyn.startswith("bat") or graph.plan is None
         ):
@@ -1207,6 +1237,12 @@ def segment_spmm(
     `models/conv/spmm.py:5-14`)."""
     w = edge_weight if edge_weight is not None else graph.edge_weight
     use_p = _use_pallas(backend) and reduce in ("sum", "mean")
+    if use_p and backend == "auto":
+        # latency-floor crossover (graph-build-time table decision): below
+        # the measured floor the XLA reference path wins outright
+        pref = graph.prefer_dyn if edge_weight is not None else graph.prefer
+        if pref == "xla":
+            use_p = False
     # measured-table layout preference (Graph.prefer / .prefer_dyn): the
     # sweep's static/dynamic spmm winners decide BAT vs slot per graph
     have_slot = graph.plan is not None

@@ -32,7 +32,13 @@ TABLE_ENV = "GEOT_TPU_TUNING_TABLE"
 
 @dataclasses.dataclass(frozen=True)
 class KernelConfig:
-    mode: str  # 'sr' | 'pr'
+    # 'bat' | 'bat_packed' | 'sr' | 'packed' | 'pr' | 'xla'
+    # 'xla' = the plain XLA reference path (segment_sum): below a latency
+    # floor the Pallas grids lose to XLA's fused scatter (r2 grid: cora all
+    # N, citeseer N>=64) — the reference's rule trees exist to make exactly
+    # this kind of per-(size, N) implementation choice
+    # (`csrc/cuda/wrapper/index_scatter_rule.h:3-256`).
+    mode: str
     e_tile: int = 256
     s_tile: int = 128
     f_tile: int = 128
@@ -78,6 +84,32 @@ def bucket_key(n_features: int, nnz: int, num_segments: int) -> str:
     )
 
 
+def _nearest_key(table: dict, op: str, kb: str) -> Optional["KernelConfig"]:
+    """Shape-interpolating fallback: nearest measured bucket of the SAME op
+    family by weighted L1 distance in (log2-feature, log2-nnz, log2-avg)
+    space. The reference closes the same gap by *fitting* a regressor over
+    its sweep rows (`data/process/dtregression.py:26-343`); with log2
+    bucket keys, nearest-bucket lookup is the table-native equivalent —
+    measured winners vary smoothly along all three axes, so the nearest
+    swept shape beats the analytic fallback (which the round-2 ablation
+    put at geomean 1.37x, worst 2.6x, off best)."""
+    want = [int(t) for t in kb.split(":")]
+    best = None
+    prefix = op + ":"
+    for key in table:
+        if not key.startswith(prefix):
+            continue
+        have = [int(t) for t in key[len(prefix):].split(":")]
+        # feature-size mismatch weighs double: it flips the packed/wide
+        # layout family, the costliest wrong call
+        d = 2 * abs(have[0] - want[0]) + abs(have[1] - want[1]) + abs(
+            have[2] - want[2]
+        )
+        if best is None or d < best[0]:
+            best = (d, table[key])
+    return best[1] if best is not None else None
+
+
 def select_config(
     n_features: int,
     nnz: int,
@@ -89,7 +121,9 @@ def select_config(
     """Pick tile shapes from the op shape (feature_size, size, avg) — the
     same feature triple the reference trees split on. `op` selects the
     table family ('spmm' | 'spmm_dyn' | 'index_scatter'); the measured
-    table keys are op-prefixed, with un-prefixed legacy keys as fallback.
+    table keys are op-prefixed. Unswept shapes interpolate to the nearest
+    measured bucket of the same family (`_nearest_key`); only a family
+    with zero measured keys reaches the analytic heuristic.
 
     For mode 'bat'/'bat_packed' the tiles are the BatPlan tiles (v3
     kernels); 'sr'/'packed' are the legacy slot-layout tiles. 'pr' is never
@@ -98,12 +132,22 @@ def select_config(
     """
     avg = nnz / max(num_segments, 1)
     table = load_table()
-    if table:
-        kb = bucket_key(n_features, nnz, num_segments)
-        for key in (f"{op}:{kb}", kb):
-            if key in table:
-                return table[key]
+    kb = bucket_key(n_features, nnz, num_segments) if table else ""
+    if table and f"{op}:{kb}" in table:
+        return table[f"{op}:{kb}"]
 
+    if nnz < 12_000:
+        # latency floor: tiny grids lose to XLA's fused scatter (measured,
+        # round-2 op grid: cora/citeseer) — route auto dispatch to the
+        # reference backend. Checked BEFORE nearest-bucket interpolation:
+        # extrapolating a large-graph winner down to a tiny shape is the
+        # one regime where the nearest measured bucket is reliably wrong.
+        return KernelConfig(mode="xla")
+
+    if table:
+        near = _nearest_key(table, op, kb)
+        if near is not None:
+            return near
     if n_features <= 64:
         # packed BAT: 128//n lanes per edge row; measured best for narrow
         # features (bat/packed sweeps, round 2)

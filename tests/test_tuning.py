@@ -11,24 +11,31 @@ from geot_tpu.tuning.heuristics import KernelConfig, select_config
 from geot_tpu.tuning.sweep import measure_config, write_table
 
 
-def test_select_config_heuristic_shapes():
+def test_select_config_heuristic_shapes(monkeypatch):
+    # isolate from the shipped measured table: heuristics only
+    monkeypatch.setenv(H.TABLE_ENV, "/nonexistent/table.json")
+    H._table_cache = None
     # narrow features: packed BAT (PR retired — measured 4x slower on TPU)
     cfg = select_config(8, 100_000, 10_000)
     assert cfg.mode == "bat_packed"
     cfg = select_config(128, 1_000_000, 10_000)  # avg 100
     assert cfg.mode == "bat" and cfg.e_tile >= 512
-    cfg = select_config(128, 10_000, 9_000)  # avg ~1
-    assert cfg.s_tile <= 128
+    # below the measured latency floor (cora/citeseer, r2 grid): route
+    # auto dispatch to the XLA reference path
+    cfg = select_config(128, 10_000, 9_000)
+    assert cfg.mode == "xla"
+    H._table_cache = None
 
 
 def test_op_prefixed_table_keys(tmp_path, monkeypatch):
-    """Measured keys are op-scoped; un-prefixed keys remain a fallback."""
+    """Measured keys are op-scoped; unswept shapes interpolate to the
+    nearest measured bucket of the SAME family, never across families."""
     path = str(tmp_path / "table.json")
     kb = H.bucket_key(64, 500_000, 50_000)
     write_table(
         {
             f"index_scatter:{kb}": (KernelConfig("bat", 512, 128, 128), 1.0),
-            kb: (KernelConfig("bat", 1024, 256, 128), 1.0),
+            f"spmm:{kb}": (KernelConfig("bat", 1024, 256, 128), 1.0),
         },
         path,
     )
@@ -36,15 +43,21 @@ def test_op_prefixed_table_keys(tmp_path, monkeypatch):
     H._table_cache = None
     cfg = select_config(64, 500_000, 50_000, op="index_scatter")
     assert (cfg.e_tile, cfg.s_tile) == (512, 128)
-    # other op families fall back to the un-prefixed key
     cfg = select_config(64, 500_000, 50_000, op="spmm")
     assert (cfg.e_tile, cfg.s_tile) == (1024, 256)
+    # nearest-bucket interpolation: a nearby unswept shape reuses the same
+    # family's measured winner instead of the analytic fallback
+    cfg = select_config(64, 2_000_000, 80_000, op="spmm")
+    assert (cfg.e_tile, cfg.s_tile) == (1024, 256)
+    # a family with no measured keys falls through to the heuristic
+    cfg = select_config(64, 500_000, 50_000, op="spmm_dyn")
+    assert cfg.mode == "bat_packed"
     H._table_cache = None
 
 
 def test_table_lookup_roundtrip(tmp_path, monkeypatch):
     path = str(tmp_path / "table.json")
-    k = f"{H._bucket(64)}:{H._bucket(500_000)}:{H._bucket(10)}"
+    k = "spmm:" + f"{H._bucket(64)}:{H._bucket(500_000)}:{H._bucket(10)}"
     write_table({k: (KernelConfig("sr", 512, 256, 256), 1.0)}, path)
     assert os.path.exists(path)
     monkeypatch.setenv(H.TABLE_ENV, path)
