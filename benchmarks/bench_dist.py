@@ -86,8 +86,16 @@ def run(args) -> None:
                 time_ms=round(t * 1e3, 4),
                 scaling_eff=round(eff, 4),
                 halo_rows_per_part=pg.halo * pg.num_parts,
-                interior_edges=int(np.asarray(pg.plan_int.mask).sum()),
-                boundary_edges=int(np.asarray(pg.plan.mask).sum()),
+                interior_edges=(
+                    int(np.asarray(pg.plan_int.mask).sum())
+                    if pg.plan_int is not None
+                    else int((np.asarray(pg.bat_int.dst3) >= 0).sum())
+                ),
+                boundary_edges=(
+                    int(np.asarray(pg.plan.mask).sum())
+                    if pg.plan is not None
+                    else int((np.asarray(pg.bat.dst3) >= 0).sum())
+                ),
                 device=str(devices[0].device_kind),
             )
         )

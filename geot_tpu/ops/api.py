@@ -387,28 +387,50 @@ def _bat_sum(
     return _plan_sum_chunked(bp, run_one)
 
 
-def _bat_sum_scan(bp: BatPlan, vals_fn, n: int, w_edge: Optional[jax.Array]):
+def _bat_sum_scan(
+    bp: BatPlan,
+    vals_fn,
+    n: int,
+    w_edge: Optional[jax.Array],
+    *,
+    chunk_meta=None,
+):
     """Wide BAT segment sum with uniform chunks executed under `lax.scan`:
     one compiled chunk body (gather → BAT kernel → accumulate-at-offset)
     instead of an unrolled program per chunk. Chunk outputs overlap only on
     hub-split windows and zero pad windows, so accumulating each chunk's
     [W_c*s_tile, F] block into the carry at w0*s_tile is exact — the same
-    overlap-add stitch `_plan_sum_chunked` does by concatenation."""
+    overlap-add stitch `_plan_sum_chunked` does by concatenation.
+
+    `chunk_meta` = (C, T_c, W_c, w0s, w1s) overrides the static
+    `bp.chunks`-derived schedule with traced per-chunk window arrays — the
+    multi-chip path needs this because shard_map runs ONE program on every
+    part while each part's chunk windows are data (see
+    `parallel.bat_partition`)."""
     import numpy as np
 
     E, s = bp.e_tile, bp.s_tile
-    C = len(bp.chunks)
-    T_c = bp.chunks[0][1] - bp.chunks[0][0]
-    W_c = bp.chunk_blocks or max(w1 - w0 for _, _, w0, w1 in bp.chunks)
+    if chunk_meta is None:
+        C = len(bp.chunks)
+        T_c = bp.chunks[0][1] - bp.chunks[0][0]
+        W_c = bp.chunk_blocks or max(w1 - w0 for _, _, w0, w1 in bp.chunks)
+        assert all(
+            t1 - t0 == T_c for t0, t1, _, _ in bp.chunks
+        ), "chunks not uniform"
+        w0s = jnp.asarray(np.asarray([c[2] for c in bp.chunks], np.int32))
+        w1s = jnp.asarray(np.asarray([c[3] for c in bp.chunks], np.int32))
+    else:
+        C, T_c, W_c, w0s, w1s = chunk_meta
     nblk = T_c + 1
     f_tile = _pick_f_tile(n)
     f_pad = _round_up(max(n, 1), f_tile)
-    assert all(t1 - t0 == T_c for t0, t1, _, _ in bp.chunks), "chunks not uniform"
 
     ob2 = bp.out_block.reshape(C, T_c)
     vb2 = bp.vblock.reshape(C, T_c)
-    vbase = vb2[:, 0]  # first tile of each chunk is real
-    w0s = jnp.asarray(np.asarray([c[2] for c in bp.chunks], np.int32))
+    # first tile of each chunk is real (all-pad chunks from cross-part
+    # equalization carry the sentinel there — the `where` handles it and
+    # the dst3 slice at the sentinel lands in the all--1 pad region)
+    vbase = jnp.where(vb2[:, 0] >= bp.n_vblocks, bp.n_vblocks, vb2[:, 0])
     vb_rel = jnp.where(vb2 >= bp.n_vblocks, nblk, vb2 - vbase[:, None])
     ob_rel = ob2 - w0s[:, None]
     # dst3 with nblk+1 sentinel blocks appended: any chunk's slice
@@ -461,7 +483,6 @@ def _bat_sum_scan(bp: BatPlan, vals_fn, n: int, w_edge: Optional[jax.Array]):
 
     # margin rows absorb trailing pad windows (w0 + W_c can pass n_blocks)
     carry0 = jnp.zeros((bp.n_blocks * s + W_c * s, f_pad), jnp.float32)
-    w1s = jnp.asarray(np.asarray([c[3] for c in bp.chunks], np.int32))
     out, _ = jax.lax.scan(body, carry0, (vbase, w0s, w1s, vb_rel, ob_rel))
     dt = jax.eval_shape(
         lambda: vals_fn(jnp.zeros((), jnp.int32), nblk * E, None)

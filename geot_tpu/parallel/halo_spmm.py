@@ -26,6 +26,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from geot_tpu.graph.plan import SegmentPlan
+from geot_tpu.parallel.bat_partition import part_bat_reduce
 from geot_tpu.parallel.partition import PartitionedGraph
 
 __all__ = ["halo_spmm", "node_sharding", "block_nodes", "unblock_nodes", "pad_nodes"]
@@ -150,8 +151,6 @@ def halo_spmm(
     )
     def fwd_local(x_local, pg_local):
         # x_local: [nodes_per_part, F]
-        plan_b = _unbatch_plan(pg_local.plan)
-        plan_i = _unbatch_plan(pg_local.plan_int)
         send_idx = pg_local.send_idx[0]  # [P, H]
         send_mask = pg_local.send_mask[0]  # [P, H]
         send_buf = x_local[jnp.minimum(send_idx, x_local.shape[0] - 1)]
@@ -159,11 +158,21 @@ def halo_spmm(
         recv = jax.lax.all_to_all(
             send_buf, axis, split_axis=0, concat_axis=0, tiled=True
         )  # [P, H, F] — recv[q, i] = row i sent by part q
+        recv = recv.reshape(-1, recv.shape[-1])  # [P*H, F]
         # interior reduce is independent of the exchange — XLA's async
         # collective scheduling runs the all-to-all concurrently with it
         # (the SURVEY §2.7 comm/compute overlap)
+        if pg_local.bat is not None:
+            # products-scale parts: scan-chunked BAT families (bounded
+            # per-chunk gather transients — see `parallel.bat_partition`)
+            out_i = part_bat_reduce(
+                pg_local.bat_int.unbatch(), x_local, use_pallas
+            )
+            out_b = part_bat_reduce(pg_local.bat.unbatch(), recv, use_pallas)
+            return out_i + out_b
+        plan_b = _unbatch_plan(pg_local.plan)
+        plan_i = _unbatch_plan(pg_local.plan_int)
         out_i = _local_reduce(plan_i, x_local, pg_local.w_int[0], use_pallas)
-        recv = recv.reshape(-1, recv.shape[-1])  # [P*H, F]
         out_b = _local_reduce(plan_b, recv, pg_local.w_slots[0], use_pallas)
         return out_i + out_b
 
@@ -176,19 +185,31 @@ def halo_spmm(
     )
     def bwd_local(g_local, pg_local):
         # g_local: [nodes_per_part, F] — incoming cotangent of the output.
-        plan_t = _unbatch_plan(pg_local.plan_t)
-        plan_it = _unbatch_plan(pg_local.plan_int_t)
         # boundary partials per receive-buffer position: [P*H, F]
-        h = _local_reduce(plan_t, g_local, pg_local.w_slots_t[0], use_pallas)
+        if pg_local.bat is not None:
+            h = part_bat_reduce(
+                pg_local.bat_t.unbatch(), g_local, use_pallas
+            )
+        else:
+            plan_t = _unbatch_plan(pg_local.plan_t)
+            h = _local_reduce(
+                plan_t, g_local, pg_local.w_slots_t[0], use_pallas
+            )
         # return each partial to the part that owns the row (reverse exchange)
         h = h.reshape(pg_local.send_idx.shape[1], pg_local.halo, -1)  # [P, H, F]
         back = jax.lax.all_to_all(
             h, axis, split_axis=0, concat_axis=0, tiled=True
         )  # [P, H, F] — back[q, i] = grad for my send slot i, from part q
         # interior gradient overlaps the reverse exchange (independent)
-        g_int = _local_reduce(
-            plan_it, g_local, pg_local.w_int_t[0], use_pallas
-        )
+        if pg_local.bat is not None:
+            g_int = part_bat_reduce(
+                pg_local.bat_int_t.unbatch(), g_local, use_pallas
+            )
+        else:
+            plan_it = _unbatch_plan(pg_local.plan_int_t)
+            g_int = _local_reduce(
+                plan_it, g_local, pg_local.w_int_t[0], use_pallas
+            )
         back = back.reshape(-1, back.shape[-1])  # [P*H, F]
         send_idx = pg_local.send_idx[0].reshape(-1)  # [P*H]
         npp = pg_local.nodes_per_part

@@ -21,6 +21,8 @@ Partition invariants (P parts, nodes padded to P*nodes_per_part):
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -116,16 +118,16 @@ class PartitionedGraph:
     w_int / w_int_t:       [P, T, e_tile] interior slot weights.
     """
 
-    plan: SegmentPlan
-    plan_t: SegmentPlan
-    plan_int: SegmentPlan
-    plan_int_t: SegmentPlan
+    plan: Optional[SegmentPlan]
+    plan_t: Optional[SegmentPlan]
+    plan_int: Optional[SegmentPlan]
+    plan_int_t: Optional[SegmentPlan]
     send_idx: jax.Array
     send_mask: jax.Array
-    w_slots: jax.Array
-    w_slots_t: jax.Array
-    w_int: jax.Array
-    w_int_t: jax.Array
+    w_slots: Optional[jax.Array]
+    w_slots_t: Optional[jax.Array]
+    w_int: Optional[jax.Array]
+    w_int_t: Optional[jax.Array]
     num_parts: int = dataclasses.field(metadata=dict(static=True))
     nodes_per_part: int = dataclasses.field(metadata=dict(static=True))
     halo: int = dataclasses.field(metadata=dict(static=True))
@@ -133,6 +135,14 @@ class PartitionedGraph:
     # Static (host-known) — drives the blocked node layout.
     part_start: tuple = dataclasses.field(default=(), metadata=dict(static=True))
     num_nodes: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # scan-chunked BAT families (products-scale parts where the slot plans
+    # exceed the prefetch/gather budgets — see `parallel.bat_partition`):
+    # boundary fwd/bwd, interior fwd/bwd. When set, the slot fields above
+    # are None and `halo_spmm` routes through `part_bat_reduce`.
+    bat: Optional[object] = None
+    bat_t: Optional[object] = None
+    bat_int: Optional[object] = None
+    bat_int_t: Optional[object] = None
 
     @property
     def padded_nodes(self) -> int:
@@ -162,6 +172,10 @@ def partition_graph(
     edge_weight=None,
     e_tile: int = 256,
     s_tile: int = 256,
+    layout: str = "auto",
+    feature_hint: int = 128,
+    bat_e_tile: int = 1024,
+    max_chunk_tiles: int = 0,
 ) -> PartitionedGraph:
     """Host-side partitioning of a COO edge list (any order) into
     `num_parts` dst-contiguous, edge-balanced parts with a halo exchange
@@ -235,22 +249,34 @@ def partition_graph(
             send_idx[q, p, : len(lst)] = lst
             send_mask[q, p, : len(lst)] = 1.0
 
-    # shard_map runs ONE program on every part, so chunked streaming (whose
-    # chunk boundaries are per-part data) is unavailable here — the whole
-    # per-part plan must fit the SMEM scalar-prefetch budget. Auto-bump
-    # e_tile until it does (products/P=8 fits at e_tile=1024).
+    # Layout choice. The slot plans must fit the SMEM scalar-prefetch
+    # budget AND gather all edges' source rows in one op; past either
+    # budget the scan-chunked BAT families take over (chunk windows ride
+    # as per-part data through `_bat_sum_scan(chunk_meta=...)`, so the one
+    # shard_map program stays valid — see `parallel.bat_partition`).
     from geot_tpu.graph.plan import MAX_PREFETCH_TILES
 
     max_edges = max(
         (int(len(d)) for d in bnd_dst_parts + int_dst_parts), default=0
     )
-    while _cdiv(max(max_edges, 1), e_tile) > MAX_PREFETCH_TILES:
-        if e_tile >= 4096:
-            raise ValueError(
-                f"part with {max_edges} edges exceeds the scalar-prefetch "
-                f"budget even at e_tile={e_tile}; use more parts"
-            )
-        e_tile *= 2
+    if layout == "auto":
+        gather_bytes = max_edges * max(feature_hint, 1) * 4
+        layout = (
+            "bat"
+            if _cdiv(max(max_edges, 1), 4096) > MAX_PREFETCH_TILES
+            or gather_bytes > (1 << 30)
+            else "slot"
+        )
+    if layout == "slot":
+        # auto-bump e_tile until the plan fits (products/P=8 fits at 1024)
+        while _cdiv(max(max_edges, 1), e_tile) > MAX_PREFETCH_TILES:
+            if e_tile >= 4096:
+                raise ValueError(
+                    f"part with {max_edges} edges exceeds the scalar-"
+                    f"prefetch budget even at e_tile={e_tile}; use "
+                    f"layout='bat' or more parts"
+                )
+            e_tile *= 2
 
     def _weights_for(plan, ww):
         if ww is None or len(ww) == 0:
@@ -301,6 +327,66 @@ def partition_graph(
     recv_pos_arrs = [
         (uo * H + slot).astype(np.int64) for uo, slot in recv_pos_parts
     ]
+    common = dict(
+        send_idx=jnp.asarray(send_idx),
+        send_mask=jnp.asarray(send_mask),
+        num_parts=P,
+        nodes_per_part=int(npp),
+        halo=int(H),
+        part_start=tuple(int(b) for b in starts),
+        num_nodes=int(num_nodes),
+    )
+    if layout == "bat":
+        from geot_tpu.parallel.bat_partition import build_part_bat_family
+
+        mct = max_chunk_tiles or max(
+            1,
+            min(
+                MAX_PREFETCH_TILES,
+                (1 << 30) // (max(feature_hint, 1) * 4 * bat_e_tile),
+            ),
+        )
+        kw = dict(e_tile=bat_e_tile, s_tile=s_tile, max_chunk_tiles=mct)
+
+        def _sorted_by(key_parts, *arr_parts):
+            perms = [np.argsort(k, kind="stable") for k in key_parts]
+            outs = [[k[q] for k, q in zip(key_parts, perms)]]
+            for arrs in arr_parts:
+                outs.append(
+                    [None if a is None else a[q] for a, q in zip(arrs, perms)]
+                )
+            return outs
+
+        bat = build_part_bat_family(
+            bnd_dst_parts, recv_pos_arrs, w_bnd_parts, npp, **kw
+        )
+        pos_s, dst_s, w_s = _sorted_by(
+            recv_pos_arrs, bnd_dst_parts, w_bnd_parts
+        )
+        bat_t = build_part_bat_family(pos_s, dst_s, w_s, halo_total, **kw)
+        bat_i = build_part_bat_family(
+            int_dst_parts, int_src_parts, w_int_parts, npp, **kw
+        )
+        src_s, dsti_s, wi_s = _sorted_by(
+            int_src_parts, int_dst_parts, w_int_parts
+        )
+        bat_i_t = build_part_bat_family(src_s, dsti_s, wi_s, npp, **kw)
+        return PartitionedGraph(
+            plan=None,
+            plan_t=None,
+            plan_int=None,
+            plan_int_t=None,
+            w_slots=None,
+            w_slots_t=None,
+            w_int=None,
+            w_int_t=None,
+            bat=bat,
+            bat_t=bat_t,
+            bat_int=bat_i,
+            bat_int_t=bat_i_t,
+            **common,
+        )
+
     plan_b, plan_b_t, w_bnd, w_bnd_t = _build_family(
         bnd_dst_parts, recv_pos_arrs, w_bnd_parts, npp, halo_total
     )
@@ -313,15 +399,9 @@ def partition_graph(
         plan_t=plan_b_t,
         plan_int=plan_i,
         plan_int_t=plan_i_t,
-        send_idx=jnp.asarray(send_idx),
-        send_mask=jnp.asarray(send_mask),
         w_slots=w_bnd,
         w_slots_t=w_bnd_t,
         w_int=w_int,
         w_int_t=w_int_t,
-        num_parts=P,
-        nodes_per_part=int(npp),
-        halo=int(H),
-        part_start=tuple(int(b) for b in starts),
-        num_nodes=int(num_nodes),
+        **common,
     )

@@ -164,3 +164,79 @@ def test_interior_boundary_split():
         np.asarray(unblock_nodes(out, pg)), np.asarray(expect),
         rtol=1e-4, atol=1e-4,
     )
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_halo_spmm_bat_layout_matches_reference(weighted):
+    """Scan-chunked BAT families (the products-scale layout, forced here
+    via layout='bat' + a tiny chunk budget so every part runs a multi-chunk
+    scan): forward equality against the single-chip reference."""
+    mesh = _mesh(4)
+    src, dst, w, x = _rand(31, n_nodes=150, n_edges=900, weighted=weighted)
+    n = x.shape[0]
+    pg = partition_graph(
+        src, dst, n, 4, edge_weight=w, s_tile=32,
+        layout="bat", bat_e_tile=32, max_chunk_tiles=4,
+    )
+    assert pg.bat is not None and pg.plan is None
+    assert pg.bat.C >= 2  # the tiny budget actually forces multiple chunks
+    xp = jax.device_put(block_nodes(jnp.asarray(x), pg), node_sharding(mesh))
+    expect = (
+        ref.gather_weight_scatter_ref(src, dst, jnp.asarray(w), jnp.asarray(x), n)
+        if weighted
+        else ref.gather_scatter_ref(src, dst, jnp.asarray(x), n)
+    )
+    for backend in ("reference", "pallas"):
+        out = halo_spmm(xp, pg, mesh, backend=backend)
+        np.testing.assert_allclose(
+            np.asarray(unblock_nodes(out, pg)), np.asarray(expect),
+            rtol=1e-4, atol=1e-4, err_msg=backend,
+        )
+
+
+def test_halo_spmm_bat_layout_grad_matches():
+    """Backward through the BAT families (transpose plans + reverse
+    exchange) vs jax.grad of the reference op."""
+    mesh = _mesh(4)
+    src, dst, w, x = _rand(33, n_nodes=96, n_edges=500, f=8)
+    n = x.shape[0]
+    pg = partition_graph(
+        src, dst, n, 4, edge_weight=w, s_tile=32,
+        layout="bat", bat_e_tile=32, max_chunk_tiles=4,
+    )
+    xp = jax.device_put(block_nodes(jnp.asarray(x), pg), node_sharding(mesh))
+    cot = np.random.default_rng(0).standard_normal(xp.shape).astype(np.float32)
+    cot_b = jax.device_put(jnp.asarray(cot), node_sharding(mesh))
+
+    def loss_dist(xx):
+        return jnp.vdot(halo_spmm(xx, pg, mesh, backend="pallas"), cot_b)
+
+    g_dist = unblock_nodes(jax.grad(loss_dist)(xp), pg)
+
+    cot_g = unblock_nodes(jnp.asarray(cot), pg)
+
+    def loss_ref(xx):
+        return jnp.vdot(
+            ref.gather_weight_scatter_ref(src, dst, jnp.asarray(w), xx, n),
+            cot_g,
+        )
+
+    g_ref = jax.grad(loss_ref)(jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(g_dist), np.asarray(g_ref), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_partition_auto_selects_bat_past_budget(monkeypatch):
+    """layout='auto' flips to the BAT families when the slot gather
+    transient would blow the budget (products-scale guard, without
+    products-scale memory in a unit test)."""
+    import geot_tpu.parallel.partition as part_mod
+
+    src, dst, w, x = _rand(35, n_nodes=80, n_edges=400)
+    # pretend features are enormous so gather_bytes crosses the 1 GiB cap
+    pg = partition_graph(
+        src, dst, x.shape[0], 4, edge_weight=w,
+        feature_hint=1 << 26, max_chunk_tiles=4,
+    )
+    assert pg.bat is not None and pg.plan is None
