@@ -54,12 +54,15 @@ def run(args) -> None:
                     normalize="gcn" if mname in ("gcn", "sgc", "appnp") else None,
                 )
             g = graphs[key]
+            dtype = jnp.bfloat16 if args.dtype == "bf16" else None
             for hidden in args.hidden:
                 model = model_cls(
                     hidden_features=hidden,
                     num_layers=args.num_layers,
                     out_features=n_cls,
                 )
+                # params stay f32 masters; bf16 is the COMPUTE dtype
+                # (activations + casts inside the layers)
                 params = model.init(jax.random.PRNGKey(0), x, g)
                 for backend in ("pallas", "reference"):
                     m2 = model_cls(
@@ -67,6 +70,7 @@ def run(args) -> None:
                         num_layers=args.num_layers,
                         out_features=n_cls,
                         backend=backend,
+                        dtype=dtype,
                     )
                     fn = jax.jit(lambda p, xx, gg: m2.apply(p, xx, gg))
                     try:
@@ -81,17 +85,19 @@ def run(args) -> None:
                             hidden=hidden,
                             layers=args.num_layers,
                             backend=backend,
+                            dtype=args.dtype,
                             time_ms=round(t * 1e3, 4),
                         )
                     )
-                    print(rows[-1])
+                    print(rows[-1], flush=True)
+                    if args.out:
+                        hdr = not os.path.exists(args.out)
+                        with open(args.out, "a", newline="") as f:
+                            w = csv.DictWriter(f, fieldnames=list(rows[-1]))
+                            if hdr:
+                                w.writeheader()
+                            w.writerow(rows[-1])
     if args.out and rows:
-        hdr = not os.path.exists(args.out)
-        with open(args.out, "a", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=list(rows[0]))
-            if hdr:
-                w.writeheader()
-            w.writerows(rows)
         print(f"wrote {len(rows)} rows to {args.out}")
 
 
@@ -103,6 +109,7 @@ def main() -> None:
     p.add_argument("--num-layers", type=int, default=3)
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--max-edges", type=int, default=0)
+    p.add_argument("--dtype", choices=["f32", "bf16"], default="f32")
     p.add_argument("--out", default="")
     run(p.parse_args())
 

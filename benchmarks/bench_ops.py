@@ -47,6 +47,8 @@ def run(args) -> None:
     from geot_tpu.utils.roofline import sddmm_bytes, spmm_bytes
     from geot_tpu.utils.timing import timeit
 
+    from geot_tpu.graph.cache import cached_build
+
     on_accel = jax.default_backend() != "cpu"
     rows = []
     for name in args.datasets:
@@ -54,24 +56,40 @@ def run(args) -> None:
         if args.max_edges and n_edges > args.max_edges:
             print(f"skip {name} ({n_edges} edges > --max-edges)")
             continue
+        # large graphs: fewer timed iters (each call is hundreds of ms and
+        # the fenced timer's variance shrinks with call cost)
+        iters = args.iters if n_edges < 5_000_000 else min(args.iters, 8)
         d = synthetic_graph(n_nodes, n_edges, power=1.0, seed=0)
         dst_sorted = np.sort(d.dst)
         rng = np.random.default_rng(0)
+        w_host = rng.standard_normal(len(d.src)).astype(np.float32)
         graphs: dict = {}
 
         def graph_for(n_feat: int):
             # one graph per feature LAYOUT: narrow features get packed BAT
             # tiles (128//N edge groups per lane row) — the layout is set by
-            # feature_hint at build, as a real caller would
+            # feature_hint at build, as a real caller would. spmm_static
+            # bakes the weights at build (the model path).
             hint = n_feat if n_feat <= 64 else 128
-            if hint not in graphs:
-                graphs[hint] = prepare_graph(
-                    d.src, d.dst, n_nodes, add_self_loops=False,
-                    feature_hint=hint,
+            key = (hint, args.op == "spmm_static")
+            if key not in graphs:
+                layouts = ("bat",) if n_edges > 20_000_000 else (
+                    "bat", "slot", "stream"
                 )
-            return graphs[hint]
+                graphs[key] = cached_build(
+                    f"benchop-{name}-h{hint}-{args.op == 'spmm_static'}-"
+                    f"{'-'.join(layouts)}",
+                    lambda: prepare_graph(
+                        d.src, d.dst, n_nodes, add_self_loops=False,
+                        feature_hint=hint, layouts=layouts,
+                        edge_weight=(
+                            w_host if args.op == "spmm_static" else None
+                        ),
+                    ),
+                )
+            return graphs[key]
 
-        w = jnp.asarray(rng.standard_normal(len(d.src)).astype(np.float32))
+        w = jnp.asarray(w_host)
         for n_feat in args.features:
             g = graph_for(n_feat)
             x = jnp.asarray(
@@ -95,6 +113,17 @@ def run(args) -> None:
                             g,
                         )
                     ),
+                    # production dispatch: measured table + latency-floor
+                    # crossover pick the implementation per (shape, graph)
+                    "geot_auto": functools.partial(
+                        jax.jit(
+                            lambda gg, x, w: ops.gather_weight_scatter(
+                                gg.src, gg.dst, w, x, n_nodes, graph=gg,
+                                backend="auto",
+                            )
+                        ),
+                        g,
+                    ),
                     "xla_segment_sum": jax.jit(
                         lambda x, w: ref.gather_weight_scatter_ref(
                             g.src, g.dst, w, x, n_nodes
@@ -106,6 +135,41 @@ def run(args) -> None:
                         .add(x[g.src] * w[:, None])
                     ),
                     "args": (x, w),
+                }
+            elif args.op == "spmm_static":
+                # the model path: weights baked at graph build
+                # (`segment_spmm`, slot weights / BAT edge order / hybrid
+                # stream — whatever build-time dispatch chose)
+                variants = {
+                    "geot_pallas" if on_accel else "geot_interpret": (
+                        functools.partial(
+                            jax.jit(
+                                lambda gg, x: ops.segment_spmm(
+                                    gg, x, backend="pallas"
+                                )
+                            ),
+                            g,
+                        )
+                    ),
+                    "geot_auto": functools.partial(
+                        jax.jit(
+                            lambda gg, x: ops.segment_spmm(
+                                gg, x, backend="auto"
+                            )
+                        ),
+                        g,
+                    ),
+                    "xla_segment_sum": jax.jit(
+                        lambda x: ref.gather_weight_scatter_ref(
+                            g.src, g.dst, g.edge_weight, x, n_nodes
+                        )
+                    ),
+                    "xla_scatter_add": jax.jit(
+                        lambda x: jnp.zeros((n_nodes, x.shape[1]), x.dtype)
+                        .at[g.dst]
+                        .add(x[g.src] * g.edge_weight[:, None])
+                    ),
+                    "args": (x,),
                 }
             elif args.op == "sddmm":
                 # SDDMM under the reference's convention
@@ -140,6 +204,12 @@ def run(args) -> None:
                             plan=plan, backend="pallas",
                         )
                     ),
+                    "geot_auto": jax.jit(
+                        lambda v: ops.index_scatter(
+                            v, jnp.asarray(np.asarray(g.dst)), n_nodes,
+                            plan=plan, backend="auto",
+                        )
+                    ),
                     "xla_segment_sum": jax.jit(
                         lambda v: jax.ops.segment_sum(
                             v, idx, n_nodes, indices_are_sorted=True
@@ -155,7 +225,7 @@ def run(args) -> None:
             call_args = variants.pop("args")
             for vname, fn in variants.items():
                 try:
-                    t = timeit(fn, *call_args, warmup=3, iters=args.iters)
+                    t = timeit(fn, *call_args, warmup=3, iters=iters)
                 except Exception as exc:  # keep sweeping
                     print(f"{name} N={n_feat} {vname}: FAILED {exc}")
                     continue
@@ -196,7 +266,9 @@ def run(args) -> None:
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument(
-        "--op", choices=["spmm", "index_scatter", "sddmm"], default="spmm"
+        "--op",
+        choices=["spmm", "spmm_static", "index_scatter", "sddmm"],
+        default="spmm",
     )
     p.add_argument("--datasets", nargs="+", default=DEFAULT_DATASETS)
     p.add_argument("--features", nargs="+", type=int, default=DEFAULT_FEATURES)

@@ -660,3 +660,41 @@ def test_bucketed_bat_spmm_matches_reference(monkeypatch):
     )(x)
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_segment_spmm_bf16_pallas_matches_f32():
+    """bf16 activations through the Pallas plan paths (BAT static-weight
+    kernel): f32 in-kernel accumulation keeps the result within bf16
+    input-rounding tolerance of the f32 run; output dtype follows input."""
+    rng = np.random.default_rng(42)
+    n, e = 500, 6000
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = np.sort(rng.integers(0, n, e)).astype(np.int32)
+    w = rng.standard_normal(e).astype(np.float32)
+    g = build_graph(src, dst, n, edge_weight=w, feature_hint=64)
+    x32 = rng.standard_normal((n, 64)).astype(np.float32)
+    xbf = jnp.asarray(x32, jnp.bfloat16)
+    out32 = geot_tpu.segment_spmm(g, jnp.asarray(x32), backend="pallas")
+    outbf = geot_tpu.segment_spmm(g, xbf, backend="pallas")
+    assert outbf.dtype == jnp.bfloat16
+    scale = float(jnp.max(jnp.abs(out32))) + 1e-6
+    err = float(jnp.max(jnp.abs(outbf.astype(jnp.float32) - out32)))
+    assert err < 0.05 * scale, (err, scale)
+
+
+def test_gather_scatter_bf16_pallas():
+    rng = np.random.default_rng(43)
+    n, e = 300, 4000
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = np.sort(rng.integers(0, n, e)).astype(np.int32)
+    g = build_graph(src, dst, n, feature_hint=32)
+    x32 = rng.standard_normal((n, 32)).astype(np.float32)
+    out32 = geot_tpu.gather_scatter(g.src, g.dst, jnp.asarray(x32), n, graph=g,
+                           backend="pallas")
+    outbf = geot_tpu.gather_scatter(g.src, g.dst, jnp.asarray(x32, jnp.bfloat16), n,
+                           graph=g, backend="pallas")
+    assert outbf.dtype == jnp.bfloat16
+    scale = float(jnp.max(jnp.abs(out32))) + 1e-6
+    assert float(
+        jnp.max(jnp.abs(outbf.astype(jnp.float32) - out32))
+    ) < 0.05 * scale
