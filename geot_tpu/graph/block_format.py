@@ -7,10 +7,18 @@ each window's nonzero columns are deduplicated and padded to a multiple of
 `wide`, and the window's values become a dense [window, padded_cols] block
 addressed through window-local column ids.
 
-On TPU this is the substrate for locality-exploiting SpMM: a window's
-deduplicated columns are the rows worth staging in VMEM, and the dedup
-ratio (nnz / total_cols) is the achievable gather-traffic saving for
-community-structured graphs. `block_stats` reports it.
+STATUS — retired as an execution substrate (round 3). The locality role
+this format was built for is now served by the output-stationary
+streaming path: `graph.stream_plan.cell_census` is the dispatch
+statistic (successor of `block_stats`) and `build_stream_split_host` is
+the consumer — measured 1.74x/1.50x/1.31x over pure BAT at mixing
+0.1/0.3/0.5 on products-scale clustered graphs
+(`results/clustered_vs_uniform.csv`). The format itself stays as the
+format-parity artifact (reference `geot/format_preprocess.py:7-129`) and
+for its dedup diagnostics; no kernel consumes the dense blocks — the
+round-2 measurement showed materialized dense blocks lose at <10% fill,
+and the streaming design reaches the same traffic saving without
+materializing them.
 """
 
 from __future__ import annotations

@@ -69,6 +69,11 @@ def config_space(op: str, n_features: int) -> List[KernelConfig]:
         KernelConfig("sr", e, s, 128)
         for e, s in itertools.product((256, 512), (128, 256))
     ]
+    # the plain XLA path is a first-class candidate: the rule table must be
+    # able to record the NON-custom implementation where it wins (the
+    # latency floor at cora/citeseer scale — round-3 grid showed measured
+    # Pallas winners losing to XLA there because XLA wasn't in the space)
+    space.append(KernelConfig("xla"))
     return space
 
 
@@ -127,8 +132,42 @@ def measure_config(
         return None
     if cfg.mode == "pr":
         return None  # retired layout (round-1: 4x slower than packed)
+    if cfg.mode in ("sr", "packed") and len(src) > 20_000_000:
+        return None  # slot plans at this scale: ~3 GB HBM + minutes of build
     rng = np.random.default_rng(0)
     w = rng.standard_normal(len(src)).astype(np.float32)
+    if cfg.mode == "xla":
+        # reference-path candidate: no plan to build, no check (it IS the
+        # oracle the other configs are checked against)
+        try:
+            x = jnp.asarray(
+                rng.standard_normal((n_nodes, n_features)).astype(np.float32)
+            )
+            if op in ("spmm", "spmm_dyn"):
+                srcj, dstj = jnp.asarray(src), jnp.asarray(dst)
+                wj = jnp.asarray(w)
+                fn = jax.jit(
+                    lambda x, w: ref.gather_weight_scatter_ref(
+                        srcj, dstj, w, x, n_nodes
+                    )
+                )
+                args = (x, wj)
+            else:
+                idx = jnp.asarray(np.sort(np.asarray(dst)))
+                vals = jnp.asarray(
+                    rng.standard_normal((len(src), n_features)).astype(
+                        np.float32
+                    )
+                )
+                fn = jax.jit(
+                    lambda v: jax.ops.segment_sum(
+                        v, idx, n_nodes, indices_are_sorted=True
+                    )
+                )
+                args = (vals,)
+            return timeit(fn, *args, warmup=3, iters=iters)
+        except Exception:
+            return None
     try:
         g = _build_for_config(
             cfg, src, dst, n_nodes, n_features,
