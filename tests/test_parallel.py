@@ -240,3 +240,56 @@ def test_partition_auto_selects_bat_past_budget(monkeypatch):
         feature_hint=1 << 26, max_chunk_tiles=4,
     )
     assert pg.bat is not None and pg.plan is None
+
+
+def test_interior_reduce_independent_of_exchange():
+    """Comm/compute overlap precondition, checked structurally: in the
+    forward jaxpr the interior-reduce operand of the final add must not
+    be a descendant of the all_to_all — XLA can only schedule the
+    exchange concurrently with work that does not consume it. (Observing
+    the actual TPU schedule needs a multi-chip profile; this pins the
+    necessary condition so a refactor cannot silently serialize it.)"""
+    mesh = _mesh(4)
+    src, dst, w, x = _rand(41, n_nodes=100, n_edges=500)
+    n = x.shape[0]
+    pg = partition_graph(src, dst, n, 4, edge_weight=w, e_tile=64, s_tile=64)
+    xp = jax.device_put(block_nodes(jnp.asarray(x), pg), node_sharding(mesh))
+    jaxpr = jax.make_jaxpr(
+        lambda xx: halo_spmm(xx, pg, mesh, backend="reference")
+    )(xp)
+
+    def find_shard_map(jpr):
+        for eqn in jpr.eqns:
+            if eqn.primitive.name == "shard_map":
+                return eqn.params["jaxpr"]
+            for v in eqn.params.values():
+                inner = getattr(v, "jaxpr", v)
+                if hasattr(inner, "eqns"):
+                    r = find_shard_map(inner)
+                    if r is not None:
+                        return r
+        return None
+
+    inner = find_shard_map(jaxpr.jaxpr)
+    assert inner is not None, "no shard_map in the forward jaxpr"
+    inner = getattr(inner, "jaxpr", inner)
+    # taint-propagate from the all_to_all outputs
+    tainted = set()
+    saw_a2a = False
+    for eqn in inner.eqns:
+        name = eqn.primitive.name
+        if "all_to_all" in name:
+            saw_a2a = True
+            tainted.update(map(id, eqn.outvars))
+            continue
+        if any(id(v) in tainted for v in eqn.invars if hasattr(v, "aval")):
+            tainted.update(map(id, eqn.outvars))
+    assert saw_a2a, "no all_to_all found inside shard_map"
+    final = inner.eqns[-1]
+    assert final.primitive.name in ("add", "add_any"), final.primitive.name
+    taint_flags = [id(v) in tainted for v in final.invars]
+    # exactly one side (the boundary reduce) depends on the exchange
+    assert taint_flags.count(False) >= 1, (
+        "interior reduce depends on the all_to_all — overlap impossible"
+    )
+    assert taint_flags.count(True) >= 1  # sanity: boundary side IS tainted
