@@ -124,15 +124,26 @@ def run(args) -> None:
                         ),
                         g,
                     ),
-                    "xla_segment_sum": jax.jit(
-                        lambda x, w: ref.gather_weight_scatter_ref(
-                            g.src, g.dst, w, x, n_nodes
-                        )
+                    # indices ride as jit ARGUMENTS (closed-over 23M-edge
+                    # arrays become HLO constants and blow the remote-
+                    # compile request limit at reddit2/products scale)
+                    "xla_segment_sum": functools.partial(
+                        jax.jit(
+                            lambda s, d2, x, w: ref.gather_weight_scatter_ref(
+                                s, d2, w, x, n_nodes
+                            )
+                        ),
+                        g.src, g.dst,
                     ),
-                    "xla_scatter_add": jax.jit(
-                        lambda x, w: jnp.zeros((n_nodes, x.shape[1]), x.dtype)
-                        .at[g.dst]
-                        .add(x[g.src] * w[:, None])
+                    "xla_scatter_add": functools.partial(
+                        jax.jit(
+                            lambda s, d2, x, w: jnp.zeros(
+                                (n_nodes, x.shape[1]), x.dtype
+                            )
+                            .at[d2]
+                            .add(x[s] * w[:, None])
+                        ),
+                        g.src, g.dst,
                     ),
                     "args": (x, w),
                 }
@@ -159,15 +170,23 @@ def run(args) -> None:
                         ),
                         g,
                     ),
-                    "xla_segment_sum": jax.jit(
-                        lambda x: ref.gather_weight_scatter_ref(
-                            g.src, g.dst, g.edge_weight, x, n_nodes
-                        )
+                    "xla_segment_sum": functools.partial(
+                        jax.jit(
+                            lambda s, d2, ww, x: ref.gather_weight_scatter_ref(
+                                s, d2, ww, x, n_nodes
+                            )
+                        ),
+                        g.src, g.dst, g.edge_weight,
                     ),
-                    "xla_scatter_add": jax.jit(
-                        lambda x: jnp.zeros((n_nodes, x.shape[1]), x.dtype)
-                        .at[g.dst]
-                        .add(x[g.src] * g.edge_weight[:, None])
+                    "xla_scatter_add": functools.partial(
+                        jax.jit(
+                            lambda s, d2, ww, x: jnp.zeros(
+                                (n_nodes, x.shape[1]), x.dtype
+                            )
+                            .at[d2]
+                            .add(x[s] * ww[:, None])
+                        ),
+                        g.src, g.dst, g.edge_weight,
                     ),
                     "args": (x,),
                 }
@@ -181,44 +200,62 @@ def run(args) -> None:
                     rng.standard_normal((n_nodes, n_feat)).astype(np.float32)
                 )
 
-                def _unfused(a, b):
-                    ga, gb = jax.lax.optimization_barrier(
-                        (a[g.dst], b[g.src])
-                    )
+                def _unfused(s, d2, a, b):
+                    ga, gb = jax.lax.optimization_barrier((a[d2], b[s]))
                     return jnp.sum(ga * gb, axis=-1)
 
                 variants = {
-                    "geot_xla_fused": jax.jit(
-                        lambda a, b: ops.sddmm_coo(g.src, g.dst, a, b)
+                    "geot_xla_fused": functools.partial(
+                        jax.jit(
+                            lambda s, d2, a, b: ops.sddmm_coo(s, d2, a, b)
+                        ),
+                        g.src, g.dst,
                     ),
-                    "xla_unfused": jax.jit(_unfused),
+                    "xla_unfused": functools.partial(
+                        jax.jit(_unfused), g.src, g.dst
+                    ),
                     "args": (a, x),
                 }
             else:  # index_scatter
                 idx = jnp.asarray(dst_sorted)
                 plan = g.bat if g.bat is not None else g.plan
                 variants = {
-                    "geot_pallas" if on_accel else "geot_interpret": jax.jit(
-                        lambda v: ops.index_scatter(
-                            v, jnp.asarray(np.asarray(g.dst)), n_nodes,
-                            plan=plan, backend="pallas",
+                    "geot_pallas" if on_accel else "geot_interpret": (
+                        functools.partial(
+                            jax.jit(
+                                lambda pp, d2, v: ops.index_scatter(
+                                    v, d2, n_nodes, plan=pp,
+                                    backend="pallas",
+                                )
+                            ),
+                            plan, g.dst,
                         )
                     ),
-                    "geot_auto": jax.jit(
-                        lambda v: ops.index_scatter(
-                            v, jnp.asarray(np.asarray(g.dst)), n_nodes,
-                            plan=plan, backend="auto",
-                        )
+                    "geot_auto": functools.partial(
+                        jax.jit(
+                            lambda pp, d2, v: ops.index_scatter(
+                                v, d2, n_nodes, plan=pp, backend="auto"
+                            )
+                        ),
+                        plan, g.dst,
                     ),
-                    "xla_segment_sum": jax.jit(
-                        lambda v: jax.ops.segment_sum(
-                            v, idx, n_nodes, indices_are_sorted=True
-                        )
+                    "xla_segment_sum": functools.partial(
+                        jax.jit(
+                            lambda i2, v: jax.ops.segment_sum(
+                                v, i2, n_nodes, indices_are_sorted=True
+                            )
+                        ),
+                        idx,
                     ),
-                    "xla_scatter_add": jax.jit(
-                        lambda v: jnp.zeros((n_nodes, v.shape[1]), v.dtype)
-                        .at[idx]
-                        .add(v)
+                    "xla_scatter_add": functools.partial(
+                        jax.jit(
+                            lambda i2, v: jnp.zeros(
+                                (n_nodes, v.shape[1]), v.dtype
+                            )
+                            .at[i2]
+                            .add(v)
+                        ),
+                        idx,
                     ),
                     "args": (ev,),
                 }
