@@ -54,3 +54,16 @@ a_d = jnp.asarray(0.3*rng.standard_normal((400, 4)).astype(np.float32))
 out_gat = jax.jit(lambda *a: _api.gat_attention_spmm(gg, *a))(xh, a_s, a_d)
 assert np.isfinite(np.asarray(out_gat)).all()
 print("fused GAT attention on TPU: OK")
+
+# streaming hybrid path on a clustered graph (round-3 gather-free SpMM)
+from geot_tpu.graph.datasets import synthetic_clustered_graph
+dc = synthetic_clustered_graph(4000, 120_000, mixing=0.2, mean_community=400, seed=2)
+wc = rng.standard_normal(dc.num_edges).astype(np.float32)
+gc = build_graph(dc.src, dc.dst, 4000, edge_weight=wc, feature_hint=64)
+assert gc.hyb is not None, "clustered graph should take the stream split"
+xc = rng.standard_normal((4000, 64)).astype(np.float32)
+out_h = jax.jit(lambda xx: geot_tpu.segment_spmm(gc, xx))(jnp.asarray(xc))
+adj_c = np.zeros((4000, 4000), np.float64)
+np.add.at(adj_c, (np.asarray(gc.dst), np.asarray(gc.src)), np.asarray(gc.edge_weight))
+np.testing.assert_allclose(np.asarray(out_h), adj_c @ xc, rtol=2e-3, atol=2e-3)
+print("streaming hybrid SpMM vs dense oracle: OK")
