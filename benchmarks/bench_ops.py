@@ -73,6 +73,10 @@ def run(args) -> None:
             hint = n_feat if n_feat <= 64 else 128
             key = (hint, args.op == "spmm_static")
             if key not in graphs:
+                # hold ONE graph at a time: each hint key is used for a
+                # single feature size, and stacked reddit2-scale graphs
+                # plus run transients exhausted HBM mid-grid
+                graphs.clear()
                 layouts = ("bat",) if n_edges > 20_000_000 else (
                     "bat", "slot", "stream"
                 )

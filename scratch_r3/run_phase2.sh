@@ -5,9 +5,13 @@
 # and re-render the tuning report.
 cd /root/repo
 
-echo "=== spmm_static redo (reddit2/products xla rows) $(date) ==="
+echo "=== spmm_static redo (reddit2/products, fresh process each) $(date) ==="
 timeout 7200 python benchmarks/bench_ops.py --op spmm_static \
-  --datasets reddit2 ogbn-products --features 32 64 128 --iters 50 \
+  --datasets reddit2 --features 32 64 128 --iters 50 \
+  --out results/benchop_spmm_static.csv
+echo "rc=$?"
+timeout 7200 python benchmarks/bench_ops.py --op spmm_static \
+  --datasets ogbn-products --features 32 64 128 --iters 8 \
   --out results/benchop_spmm_static.csv
 echo "rc=$?"
 
