@@ -35,6 +35,7 @@ on.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -183,17 +184,22 @@ def build_stream_split_host(
     if nnz == 0:
         return None, None, np.zeros(0, bool), stats
 
+    table_bytes = num_src * max(feature_hint or 128, 1) * 4
     if gather_ns <= 0:
-        table_bytes = num_src * max(feature_hint, 1) * 4
         # measured: ~3.5 ns/row small tables -> ~12 ns/row at 1.25 GB
         gather_ns = float(np.interp(table_bytes, [128e6, 1.25e9], [3.5, 12.0]))
     # measured constants (TPU v5e): stream 3.2 ns/slot at products scale
     # (202 ms / 62.9M slots, scratch_r3/prod_stream), a bit higher at small
-    # tile counts; BAT kernel ~3.65 ns/edge on a full graph, ~5.5 on the
-    # diluted remainder (380 ms / 20.2M rest edges minus gather)
+    # tile counts. The BAT-path per-edge cost is calibrated on measured
+    # END-TO-END points, not gather+kernel components (the components
+    # mis-add at mid scale: uniform arxiv runs 4.5 ns/edge total where
+    # gather_ns+5.0 predicts 8.5, which made the census stream arxiv and
+    # LOSE 2x): arxiv N=128 5.25 ms / 1.17M edges (87 MB table) and
+    # products N=128 867 ms / 61.9M edges (1.25 GB table).
     C_SLOT = 3.4  # ns per tile slot, f32
-    BAT_KERNEL_NS = 5.0  # ns per edge on the (diluted) remainder
-    bat_edge_ns = gather_ns + BAT_KERNEL_NS
+    bat_edge_ns = float(
+        np.interp(table_bytes, [87e6, 1.25e9], [4.5, 14.5])
+    )
 
     w = dst // s_tile
     b = src // x_rows
@@ -227,7 +233,23 @@ def build_stream_split_host(
         est_bat_ms=(nnz - streamed) * bat_edge_ns / 1e6,
         est_all_bat_ms=nnz * bat_edge_ns / 1e6,
     )
-    if stream_frac < min_stream_frac:
+    # Accept the split only with a clear modeled margin. The per-edge
+    # constants are calibrated at products scale; at mid scale they are
+    # unreliable in BOTH directions (measured: the XLA gather is
+    # non-monotonic in table size — 3.5 ns/row at 87 MB, 12.5 at 300 MB,
+    # 5.9 at 1.25 GB, scratch_r2/gather_scaling.log — and the stream
+    # kernel runs ~10 ns/slot at arxiv tile counts vs the 3.4 measured at
+    # products). A marginal modeled win (e.g. uniform arxiv: est 8.1 vs
+    # 9.9 ms, measured hybrid 11.0 vs 5.25 ms pure-BAT) flips into a 2x
+    # loss, so cells stream only when the model predicts a >=25% saving.
+    est_hybrid_ms = stats["est_stream_ms"] + stats["est_bat_ms"]
+    margin = float(os.environ.get("GEOT_STREAM_MARGIN", "0.75"))
+    stats["est_hybrid_ms"] = est_hybrid_ms
+    stats["margin"] = margin
+    if (
+        stream_frac < min_stream_frac
+        or est_hybrid_ms > margin * stats["est_all_bat_ms"]
+    ):
         return None, None, np.ones(nnz, bool), stats
 
     # membership of each (sorted) edge: does its cell stream?
