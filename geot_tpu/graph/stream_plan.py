@@ -161,6 +161,8 @@ def build_stream_split_host(
     min_stream_frac: float = 0.25,
     max_chunk_tiles: int = MAX_PREFETCH_TILES,
     build_edge_pos: bool = False,
+    margin: Optional[float] = None,
+    margin_min_edges: Optional[int] = None,
 ) -> Tuple[Optional[dict], Optional[dict], np.ndarray, dict]:
     """Split a dst-sorted edge list into (stream plan, gather remainder).
 
@@ -169,11 +171,21 @@ def build_stream_split_host(
     graph), `rest_mask` is a bool[nnz] marking edges routed to the gather
     (BAT) path — order-preserving, so the masked sub-list stays dst-sorted.
 
-    The split threshold tau comes from measured per-edge costs: a streamed
-    cell costs ~ceil(cnt/E)*E*c_slot ns (c_slot ~= 4.3 ns/slot at
-    E=512, S=W=256 — probe_stream2) vs cnt*(gather + kernel) on the BAT
-    path, where gather ~= 3.5 ns/row from small tables and ~12 ns/row at
-    1 GB+ tables (RESULTS r2). Cells stream when they are cheaper streamed.
+    The split threshold tau comes from measured END-TO-END per-edge costs
+    (not gather+kernel components, which mis-add at mid scale): a streamed
+    cell costs ~ceil(cnt/E)*E*C_SLOT ns (C_SLOT = 3.4 ns/slot at products
+    scale, scratch_r3/prod_stream) vs cnt*bat_edge_ns on the BAT path,
+    where bat_edge_ns interpolates between two measured end-to-end points
+    (arxiv N=128: 5.25 ms / 1.17M edges = 4.5 ns/edge at an 87 MB table;
+    products N=128: 867 ms / 61.9M edges = 14.0 ns/edge at 1.25 GB).
+    Cells stream when they are cheaper streamed.
+
+    `margin` (default env GEOT_STREAM_MARGIN or 0.75) requires the modeled
+    hybrid time to beat `margin * est_all_bat_ms` before the split is
+    accepted; the gate only applies at `margin_min_edges`+ edges (default
+    env GEOT_STREAM_MARGIN_MIN_EDGES or 200_000) — the scale band where a
+    marginal modeled win was measured to flip into a real loss (uniform
+    arxiv). Below it, a plain modeled win accepts the split.
     """
     dst = np.asarray(dst, np.int64)
     src = np.asarray(src, np.int64)
@@ -186,7 +198,9 @@ def build_stream_split_host(
 
     table_bytes = num_src * max(feature_hint or 128, 1) * 4
     if gather_ns <= 0:
-        # measured: ~3.5 ns/row small tables -> ~12 ns/row at 1.25 GB
+        # measured: ~3.5 ns/row small tables -> ~12 ns/row at 1.25 GB.
+        # Reported in stats only — the cost model below is calibrated on
+        # end-to-end points, not on this component.
         gather_ns = float(np.interp(table_bytes, [128e6, 1.25e9], [3.5, 12.0]))
     # measured constants (TPU v5e): stream 3.2 ns/slot at products scale
     # (202 ms / 62.9M slots, scratch_r3/prod_stream), a bit higher at small
@@ -194,11 +208,12 @@ def build_stream_split_host(
     # END-TO-END points, not gather+kernel components (the components
     # mis-add at mid scale: uniform arxiv runs 4.5 ns/edge total where
     # gather_ns+5.0 predicts 8.5, which made the census stream arxiv and
-    # LOSE 2x): arxiv N=128 5.25 ms / 1.17M edges (87 MB table) and
-    # products N=128 867 ms / 61.9M edges (1.25 GB table).
+    # LOSE 2x): arxiv N=128 5.25 ms / 1.17M edges = 4.5 ns/edge (87 MB
+    # table) and products N=128 867 ms / 61.9M edges = 14.0 ns/edge
+    # (1.25 GB table).
     C_SLOT = 3.4  # ns per tile slot, f32
     bat_edge_ns = float(
-        np.interp(table_bytes, [87e6, 1.25e9], [4.5, 14.5])
+        np.interp(table_bytes, [87e6, 1.25e9], [4.5, 14.0])
     )
 
     w = dst // s_tile
@@ -233,22 +248,31 @@ def build_stream_split_host(
         est_bat_ms=(nnz - streamed) * bat_edge_ns / 1e6,
         est_all_bat_ms=nnz * bat_edge_ns / 1e6,
     )
-    # Accept the split only with a clear modeled margin. The per-edge
-    # constants are calibrated at products scale; at mid scale they are
-    # unreliable in BOTH directions (measured: the XLA gather is
+    # At scale, accept the split only with a clear modeled margin. The
+    # per-edge constants are calibrated at products scale; at mid scale
+    # they are unreliable in BOTH directions (measured: the XLA gather is
     # non-monotonic in table size — 3.5 ns/row at 87 MB, 12.5 at 300 MB,
     # 5.9 at 1.25 GB, scratch_r2/gather_scaling.log — and the stream
     # kernel runs ~10 ns/slot at arxiv tile counts vs the 3.4 measured at
     # products). A marginal modeled win (e.g. uniform arxiv: est 8.1 vs
     # 9.9 ms, measured hybrid 11.0 vs 5.25 ms pure-BAT) flips into a 2x
-    # loss, so cells stream only when the model predicts a >=25% saving.
+    # loss, so at >= margin_min_edges edges cells stream only when the
+    # model predicts a >= (1 - margin) saving. Small graphs (the regime
+    # below the measured flip, incl. the unit-test fixtures) accept on a
+    # plain modeled win — a misprediction there costs microseconds.
     est_hybrid_ms = stats["est_stream_ms"] + stats["est_bat_ms"]
-    margin = float(os.environ.get("GEOT_STREAM_MARGIN", "0.75"))
+    if margin is None:
+        margin = float(os.environ.get("GEOT_STREAM_MARGIN", "0.75"))
+    if margin_min_edges is None:
+        margin_min_edges = int(
+            os.environ.get("GEOT_STREAM_MARGIN_MIN_EDGES", "200000")
+        )
+    eff_margin = margin if nnz >= margin_min_edges else 1.0
     stats["est_hybrid_ms"] = est_hybrid_ms
-    stats["margin"] = margin
+    stats["margin"] = eff_margin
     if (
         stream_frac < min_stream_frac
-        or est_hybrid_ms > margin * stats["est_all_bat_ms"]
+        or est_hybrid_ms > eff_margin * stats["est_all_bat_ms"]
     ):
         return None, None, np.ones(nnz, bool), stats
 

@@ -17,8 +17,9 @@ if g.hyb is not None:
     print("stream plan:", {k: getattr(sp, k) for k in dir(sp) if not k.startswith('_') and isinstance(getattr(sp, k), (int, float))})
     print("rest:", g.hyb.rest is not None)
 from geot_tpu.graph.stream_plan import build_stream_split_host
+order = np.argsort(d.dst, kind="stable")
 arrs, meta, rest_mask, st = build_stream_split_host(
-    np.sort(d.dst), np.argsort(d.dst, kind="stable"), n_nodes, n_nodes,
-    edge_weight=w, feature_hint=128)
+    d.dst[order], d.src[order], n_nodes, n_nodes,
+    edge_weight=w[order], feature_hint=128)
 print("census:", st)
 print("built:", arrs is not None, "rest frac:", rest_mask.mean() if rest_mask is not None else None)

@@ -57,11 +57,13 @@ print("fused GAT attention on TPU: OK")
 
 # streaming hybrid path on a clustered graph (round-3 gather-free SpMM)
 from geot_tpu.graph.datasets import synthetic_clustered_graph
+# feature_hint must be a wide (non-packed) width: packed narrow-N
+# layouts (n<=64) skip the stream plan by design (structures.py nw gate)
 dc = synthetic_clustered_graph(4000, 120_000, mixing=0.2, mean_community=400, seed=2)
 wc = rng.standard_normal(dc.num_edges).astype(np.float32)
-gc = build_graph(dc.src, dc.dst, 4000, edge_weight=wc, feature_hint=64)
+gc = build_graph(dc.src, dc.dst, 4000, edge_weight=wc, feature_hint=128)
 assert gc.hyb is not None, "clustered graph should take the stream split"
-xc = rng.standard_normal((4000, 64)).astype(np.float32)
+xc = rng.standard_normal((4000, 128)).astype(np.float32)
 out_h = jax.jit(lambda xx: geot_tpu.segment_spmm(gc, xx))(jnp.asarray(xc))
 adj_c = np.zeros((4000, 4000), np.float64)
 np.add.at(adj_c, (np.asarray(gc.dst), np.asarray(gc.src)), np.asarray(gc.edge_weight))
