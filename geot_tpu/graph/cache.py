@@ -31,9 +31,12 @@ _PLAN_TYPES = {
     "BucketedBatPlan": BucketedBatPlan,
     "StreamPlan": StreamPlan,
 }
-# bump when plan array layouts change incompatibly — stale caches miss
-# (v2: hybrid stream+gather plans added; v1 caches lack them)
-FORMAT_VERSION = 2
+# bump when plan array layouts OR plan-selection policy change — stale
+# caches miss and rebuild. (v2: hybrid stream+gather plans added; v3: the
+# stream-split margin gate — v2-era caches may carry hyb plans the current
+# policy rejects, e.g. arxiv-scale uniform graphs where hybrid measured 2x
+# slower than pure BAT.)
+FORMAT_VERSION = 3
 
 
 def _split_fields(obj):
@@ -72,7 +75,19 @@ def save_graph(g: Graph, path: str) -> None:
                 cv = getattr(v, cf.name)
                 if cv is None:
                     continue
-                if isinstance(cv, (StreamPlan, BatPlan)):
+                if isinstance(cv, tuple):  # stream families (round-4)
+                    items = []
+                    for idx, el in enumerate(cv):
+                        arrays, statics = _split_fields(el)
+                        items.append(
+                            {"type": type(el).__name__, "statics": statics}
+                        )
+                        for k, a in arrays.items():
+                            blobs[f"{f.name}.{cf.name}.{idx}.{k}"] = a
+                    spec["children"][cf.name] = {
+                        "type": "tuple", "items": items
+                    }
+                elif isinstance(cv, (StreamPlan, BatPlan)):
                     arrays, statics = _split_fields(cv)
                     spec["children"][cf.name] = {
                         "type": type(cv).__name__,
@@ -136,9 +151,23 @@ def load_graph(path: str) -> Optional[Graph]:
                         for k, a in flat.items()
                         if k.startswith(cname + ".")
                     }
-                    kids[cname] = _build_plan(
-                        _PLAN_TYPES[cspec["type"]], cspec["statics"], sub
-                    )
+                    if cspec["type"] == "tuple":  # stream families
+                        kids[cname] = tuple(
+                            _build_plan(
+                                _PLAN_TYPES[ispec["type"]],
+                                ispec["statics"],
+                                {
+                                    k.split(".", 1)[1]: a
+                                    for k, a in sub.items()
+                                    if k.startswith(f"{idx}.")
+                                },
+                            )
+                            for idx, ispec in enumerate(cspec["items"])
+                        )
+                    else:
+                        kids[cname] = _build_plan(
+                            _PLAN_TYPES[cspec["type"]], cspec["statics"], sub
+                        )
                 for cf in dataclasses.fields(HybridPlan):
                     if cf.name in kids:
                         continue

@@ -13,23 +13,34 @@ which stages nnz values in shared memory close to compute):
   * each tile holds ``e_tile`` edge slots of ONE cell;
   * the Pallas kernel keeps the dst-window accumulator in VMEM (the
     existing flush-once machinery), pulls tile t's x block via a
-    scalar-prefetched per-tile block index (a sequential *stream*, double
-    buffered by the Pallas pipeline — never a row gather), and selects the
-    edge's source rows with a src one-hot matmul on the MXU.
+    scalar-prefetch-driven BlockSpec (a sequential block DMA, never a row
+    gather), and selects the edge's source rows with a src one-hot matmul
+    on the MXU.
 
-Measured on TPU v5e (scratch_r3/probe_stream*.py): 3.8-5.1 ns/edge at
-tile fill >= 0.9 for (e_tile=512-1024, x_rows=256, s_tile=256), vs
-15.1 ns/edge for the BAT+gather path at products scale. The cost scales
-inversely with tile fill, so cells with few edges are WORSE than the
-gather path — the builder therefore **splits** the edge list: cells with
-at least ``tau`` edges stream; the remainder keeps the BAT+gather path,
-and the two partial results add (both paths produce [padded_segments, F]).
-On a uniform-random graph everything lands in the remainder and behavior
-degenerates to the round-2 BAT path; on community-structured graphs
-(real ogbn-products/reddit — see `synthetic_clustered_graph`) most edges
-stream. The split threshold and fraction are decided from a host-side
-cell census — the measurable graph statistic the locality dispatch keys
-on.
+Round-4 dissection (scratch_r4/{dissect,overhead,packed,shapes_base}.log,
+TPU v5e, f32, S=W=256) refined the cost model and the plan shape:
+
+  * per-tile cost = FIXED + e_tile * MARG with FIXED ~= 0.95 us (grid-step
+    overhead ~0.68 us + x-block DMA ~0.27 us; NOT DMA-descriptor count —
+    packing dst/srcl/w into one operand changed nothing) and MARG ~= 1.95
+    ns/slot (one-hot construction + 4 bf16 MXU passes);
+  * so ns/slot falls with e_tile: 5.34 (E=256), 3.87 (512), 2.77 (1024),
+    2.37 (2048), 2.15 (4096) at full fill — tiles should be as large as
+    the cell allows. The builder now assigns the cost-optimal e_tile PER
+    CELL and emits one plan family per tile size (hub cells get 2048/4096
+    tiles, modest cells 256/512); families add into one output.
+  * alternatives measured and rejected: in-kernel tpu.dynamic_gather
+    select (take_along_axis lane gathers, scratch_r4/probe_taket.py) runs
+    4.6-8.9 ns/slot — SLOWER than the one-hot MXU select; (S,W) other
+    than (256,256) all measured worse (scratch_r4/shapes_base.log).
+
+Cells below the streamed-cost crossover keep the BAT+gather path; the two
+partial results add (`HybridPlan`). On a uniform-random graph everything
+lands in the remainder and behavior degenerates to the round-2 BAT path;
+on community-structured graphs (real ogbn-products/reddit — see
+`synthetic_clustered_graph`) most edges stream. The decision comes from a
+host-side cell census — the measurable locality statistic the dispatch
+keys on.
 """
 
 from __future__ import annotations
@@ -50,7 +61,16 @@ __all__ = [
     "build_stream_split_host",
     "stream_plan_from_host",
     "cell_census",
+    "E_CHOICES",
+    "FIXED_NS",
+    "MARG_NS",
 ]
+
+# Measured stream-kernel cost constants (TPU v5e, f32, S=W=256 — round-4
+# probes; see module docstring). FIXED_NS is per tile, MARG_NS per slot.
+FIXED_NS = float(os.environ.get("GEOT_STREAM_FIXED_NS", "950.0"))
+MARG_NS = float(os.environ.get("GEOT_STREAM_MARG_NS", "1.95"))
+E_CHOICES = (256, 512, 1024, 2048, 4096)
 
 
 def _cdiv(a, b):
@@ -60,11 +80,10 @@ def _cdiv(a, b):
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class StreamPlan:
-    """Cell-sorted streaming execution plan.
+    """Cell-sorted streaming execution plan (ONE tile-size family).
 
     Array fields (T tiles, E = e_tile):
-      out_block: [T] int32 — output window per tile, non-decreasing; every
-        window in [0, n_blocks) appears at least once (coverage).
+      out_block: [T] int32 — output window per tile, non-decreasing.
       sblock:    [T] int32 — x block streamed for tile t (block b covers x
         rows [b*x_rows, (b+1)*x_rows)).
       dst3:      [T, 1, E] int32 — global dst ids, -1 on padding slots.
@@ -74,6 +93,10 @@ class StreamPlan:
       edge_pos:  [T, 1, E] int32 or None — slot -> index into the caller's
         dst-sorted edge arrays (0 on padding; pads contribute nothing via
         srcl3 = -1), for routing dynamic per-call weights.
+      visited:   int32 0/1 — which output windows this family actually
+        writes (unwritten windows are uninitialized kernel output and are
+        masked by the executor; replaces round-3's coverage tiles).
+        Shape [n_blocks] unchunked, [n_chunks, chunk_blocks] chunked.
     """
 
     out_block: jax.Array
@@ -82,6 +105,7 @@ class StreamPlan:
     srcl3: jax.Array
     w3: Optional[jax.Array]
     edge_pos: Optional[jax.Array]
+    visited: Optional[jax.Array]
     e_tile: int = dataclasses.field(metadata=dict(static=True))
     s_tile: int = dataclasses.field(metadata=dict(static=True))
     x_rows: int = dataclasses.field(metadata=dict(static=True))
@@ -106,14 +130,15 @@ class StreamPlan:
 class HybridPlan:
     """Streamed dense cells + gather remainder (see module docstring).
 
-    stream: StreamPlan over the cells worth streaming.
+    stream: tuple of StreamPlans (one per tile-size family; partial sums
+            add into one output).
     rest:   BatPlan over the remaining (dst-sorted) edges, or None when
             every edge streams.
     rest_src: [nnz_rest] int32 gather indices for the remainder.
     rest_w:   [nnz_rest] float32 static weights for the remainder, or None.
     """
 
-    stream: StreamPlan
+    stream: tuple
     rest: Optional[object]  # BatPlan
     rest_src: Optional[jax.Array]
     rest_w: Optional[jax.Array]
@@ -146,6 +171,19 @@ def cell_census(
     return out
 
 
+def _cell_stream_cost(cnt: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-cell streamed cost (ns) and the cost-optimal e_tile: the best
+    over E_CHOICES of ceil(cnt/E) * (FIXED_NS + E * MARG_NS)."""
+    best_cost = np.full(len(cnt), np.inf, np.float64)
+    best_e = np.zeros(len(cnt), np.int32)
+    for E in E_CHOICES:
+        cost = _cdiv(cnt, E).astype(np.float64) * (FIXED_NS + E * MARG_NS)
+        sel = cost < best_cost
+        best_cost[sel] = cost[sel]
+        best_e[sel] = E
+    return best_cost, best_e
+
+
 def build_stream_split_host(
     dst: np.ndarray,
     src: np.ndarray,
@@ -154,8 +192,8 @@ def build_stream_split_host(
     *,
     s_tile: int = 256,
     x_rows: int = 256,
-    e_tile: int = 0,  # 0 = pick from the census
-    gather_ns: float = 0.0,  # 0 = estimate from table size
+    e_tile: int = 0,  # 0 = per-cell cost-optimal; >0 forces one family
+    gather_ns: float = 0.0,  # 0 = estimate from table size (stats only)
     feature_hint: int = 128,
     edge_weight: Optional[np.ndarray] = None,
     min_stream_frac: float = 0.25,
@@ -163,22 +201,22 @@ def build_stream_split_host(
     build_edge_pos: bool = False,
     margin: Optional[float] = None,
     margin_min_edges: Optional[int] = None,
-) -> Tuple[Optional[dict], Optional[dict], np.ndarray, dict]:
-    """Split a dst-sorted edge list into (stream plan, gather remainder).
+) -> Tuple[Optional[list], np.ndarray, dict]:
+    """Split a dst-sorted edge list into (stream families, gather rest).
 
-    Returns (arrays, meta, rest_mask, stats): `arrays`/`meta` feed
+    Returns (families, rest_mask, stats): `families` is a list of
+    (arrays, meta) pairs — one per tile-size family — each feeding
     `stream_plan_from_host` (None if streaming isn't worth it for this
-    graph), `rest_mask` is a bool[nnz] marking edges routed to the gather
+    graph); `rest_mask` is a bool[nnz] marking edges routed to the gather
     (BAT) path — order-preserving, so the masked sub-list stays dst-sorted.
 
-    The split threshold tau comes from measured END-TO-END per-edge costs
-    (not gather+kernel components, which mis-add at mid scale): a streamed
-    cell costs ~ceil(cnt/E)*E*C_SLOT ns (C_SLOT = 3.4 ns/slot at products
-    scale, scratch_r3/prod_stream) vs cnt*bat_edge_ns on the BAT path,
-    where bat_edge_ns interpolates between two measured end-to-end points
+    Cost model (measured END-TO-END, see module docstring): a cell of cnt
+    edges streamed with tile size E costs ceil(cnt/E)*(FIXED_NS +
+    E*MARG_NS); on the BAT path it costs cnt*bat_edge_ns, where
+    bat_edge_ns interpolates between two measured end-to-end points
     (arxiv N=128: 5.25 ms / 1.17M edges = 4.5 ns/edge at an 87 MB table;
     products N=128: 867 ms / 61.9M edges = 14.0 ns/edge at 1.25 GB).
-    Cells stream when they are cheaper streamed.
+    Cells stream (with their per-cell optimal E) when cheaper streamed.
 
     `margin` (default env GEOT_STREAM_MARGIN or 0.75) requires the modeled
     hybrid time to beat `margin * est_all_bat_ms` before the split is
@@ -194,24 +232,14 @@ def build_stream_split_host(
     n_xb = max(_cdiv(max(num_src, 1), x_rows), 1)
     stats: dict = {}
     if nnz == 0:
-        return None, None, np.zeros(0, bool), stats
+        return None, np.zeros(0, bool), stats
 
     table_bytes = num_src * max(feature_hint or 128, 1) * 4
     if gather_ns <= 0:
         # measured: ~3.5 ns/row small tables -> ~12 ns/row at 1.25 GB.
-        # Reported in stats only — the cost model below is calibrated on
+        # Reported in stats only — the cost model is calibrated on
         # end-to-end points, not on this component.
         gather_ns = float(np.interp(table_bytes, [128e6, 1.25e9], [3.5, 12.0]))
-    # measured constants (TPU v5e): stream 3.2 ns/slot at products scale
-    # (202 ms / 62.9M slots, scratch_r3/prod_stream), a bit higher at small
-    # tile counts. The BAT-path per-edge cost is calibrated on measured
-    # END-TO-END points, not gather+kernel components (the components
-    # mis-add at mid scale: uniform arxiv runs 4.5 ns/edge total where
-    # gather_ns+5.0 predicts 8.5, which made the census stream arxiv and
-    # LOSE 2x): arxiv N=128 5.25 ms / 1.17M edges = 4.5 ns/edge (87 MB
-    # table) and products N=128 867 ms / 61.9M edges = 14.0 ns/edge
-    # (1.25 GB table).
-    C_SLOT = 3.4  # ns per tile slot, f32
     bat_edge_ns = float(
         np.interp(table_bytes, [87e6, 1.25e9], [4.5, 14.0])
     )
@@ -227,40 +255,36 @@ def build_stream_split_host(
     cell_start = np.nonzero(head)[0]
     cell_cnt = np.diff(np.concatenate([cell_start, [nnz]]))
 
-    # pick e_tile: minimize total streamed cost across E choices
-    choices = (e_tile,) if e_tile else (256, 512, 1024)
-    best = None
-    for E in choices:
-        tau = max(int(E * C_SLOT / bat_edge_ns) + 1, 32)
-        sel = cell_cnt >= tau
-        streamed = int(cell_cnt[sel].sum())
-        tiles = int(np.sum(_cdiv(cell_cnt[sel], E)))
-        cost = tiles * E * C_SLOT + (nnz - streamed) * bat_edge_ns
-        if best is None or cost < best[0]:
-            best = (cost, E, tau, sel, streamed, tiles)
-    _, E, tau, sel_cells, streamed, T_est = best
+    if e_tile:
+        tiles = _cdiv(cell_cnt, e_tile)
+        stream_cost = tiles.astype(np.float64) * (FIXED_NS + e_tile * MARG_NS)
+        cell_e = np.full(len(cell_cnt), e_tile, np.int32)
+    else:
+        stream_cost, cell_e = _cell_stream_cost(cell_cnt)
+    sel_cells = stream_cost < cell_cnt * bat_edge_ns
+    streamed = int(cell_cnt[sel_cells].sum())
     stream_frac = streamed / nnz
+    est_stream_ms = float(stream_cost[sel_cells].sum()) / 1e6
+    est_bat_ms = (nnz - streamed) * bat_edge_ns / 1e6
     stats.update(
-        e_tile=E, tau=tau, stream_frac=stream_frac,
+        stream_frac=stream_frac,
         n_cells=len(cell_cnt), n_stream_cells=int(sel_cells.sum()),
         gather_ns=gather_ns,
-        est_stream_ms=T_est * E * C_SLOT / 1e6,
-        est_bat_ms=(nnz - streamed) * bat_edge_ns / 1e6,
+        est_stream_ms=est_stream_ms,
+        est_bat_ms=est_bat_ms,
         est_all_bat_ms=nnz * bat_edge_ns / 1e6,
     )
     # At scale, accept the split only with a clear modeled margin. The
     # per-edge constants are calibrated at products scale; at mid scale
     # they are unreliable in BOTH directions (measured: the XLA gather is
     # non-monotonic in table size — 3.5 ns/row at 87 MB, 12.5 at 300 MB,
-    # 5.9 at 1.25 GB, scratch_r2/gather_scaling.log — and the stream
-    # kernel runs ~10 ns/slot at arxiv tile counts vs the 3.4 measured at
-    # products). A marginal modeled win (e.g. uniform arxiv: est 8.1 vs
-    # 9.9 ms, measured hybrid 11.0 vs 5.25 ms pure-BAT) flips into a 2x
-    # loss, so at >= margin_min_edges edges cells stream only when the
-    # model predicts a >= (1 - margin) saving. Small graphs (the regime
-    # below the measured flip, incl. the unit-test fixtures) accept on a
-    # plain modeled win — a misprediction there costs microseconds.
-    est_hybrid_ms = stats["est_stream_ms"] + stats["est_bat_ms"]
+    # 5.9 at 1.25 GB, scratch_r2/gather_scaling.log). A marginal modeled
+    # win (e.g. uniform arxiv: est 8.1 vs 9.9 ms, measured hybrid 11.0 vs
+    # 5.25 ms pure-BAT) flips into a 2x loss, so at >= margin_min_edges
+    # edges cells stream only when the model predicts a >= (1 - margin)
+    # saving. Small graphs (the regime below the measured flip, incl. the
+    # unit-test fixtures) accept on a plain modeled win.
+    est_hybrid_ms = est_stream_ms + est_bat_ms
     if margin is None:
         margin = float(os.environ.get("GEOT_STREAM_MARGIN", "0.75"))
     if margin_min_edges is None:
@@ -274,104 +298,122 @@ def build_stream_split_host(
         stream_frac < min_stream_frac
         or est_hybrid_ms > eff_margin * stats["est_all_bat_ms"]
     ):
-        return None, None, np.ones(nnz, bool), stats
+        return None, np.ones(nnz, bool), stats
 
     # membership of each (sorted) edge: does its cell stream?
     edge_sel_sorted = np.repeat(sel_cells, cell_cnt)
-    s_order = order[edge_sel_sorted]  # cell-sorted positions of streamed edges
     rest_mask = np.ones(nnz, bool)
-    rest_mask[s_order] = False
-    s_dst = dst[s_order]
-    s_src = src[s_order]
-    s_cnt = cell_cnt[sel_cells]
-    s_start = np.zeros(len(s_cnt) + 1, np.int64)
-    np.cumsum(s_cnt, out=s_start[1:])
-    n_se = int(s_start[-1])
-    s_keys = key_s[cell_start[sel_cells]]
-    cell_w = (s_keys // n_xb).astype(np.int32)
-    cell_b = (s_keys % n_xb).astype(np.int32)
-    tiles_per_cell = _cdiv(s_cnt, E)
-    T = int(tiles_per_cell.sum())
-    ob = np.repeat(cell_w, tiles_per_cell)
-    sb = np.repeat(cell_b, tiles_per_cell)
-    tile_of_cell = np.zeros(len(s_cnt) + 1, np.int64)
-    np.cumsum(tiles_per_cell, out=tile_of_cell[1:])
-    pos_in_cell = np.arange(n_se) - np.repeat(s_start[:-1], s_cnt)
-    tile_idx = np.repeat(tile_of_cell[:-1], s_cnt) + pos_in_cell // E
-    slot = tile_idx * E + pos_in_cell % E
-    dst_slots = np.full(T * E, -1, np.int32)
-    srcl = np.full(T * E, -1, np.int32)
-    dst_slots[slot] = s_dst
-    srcl[slot] = (s_src % x_rows).astype(np.int32)
-    w3 = None
+    rest_mask[order[edge_sel_sorted]] = False
+
+    families = []
+    fam_stats = []
+    w_sorted = None
     if edge_weight is not None:
-        w3 = np.zeros(T * E, np.float32)
-        w3[slot] = np.asarray(edge_weight, np.float32)[s_order]
-    edge_pos = None
-    if build_edge_pos:
-        edge_pos = np.zeros(T * E, np.int32)
-        edge_pos[slot] = s_order.astype(np.int32)
+        w_sorted = np.asarray(edge_weight, np.float32)
+    for E in sorted(set(cell_e[sel_cells].tolist())):
+        fam_cells = sel_cells & (cell_e == E)
+        # cell-sorted positions of this family's edges
+        edge_in_fam = np.repeat(fam_cells, cell_cnt)
+        f_order = order[edge_in_fam]
+        f_dst = dst[f_order]
+        f_src = src[f_order]
+        f_cnt = cell_cnt[fam_cells]
+        f_start = np.zeros(len(f_cnt) + 1, np.int64)
+        np.cumsum(f_cnt, out=f_start[1:])
+        n_fe = int(f_start[-1])
+        f_keys = key_s[cell_start[fam_cells]]
+        cell_w = (f_keys // n_xb).astype(np.int32)
+        cell_b = (f_keys % n_xb).astype(np.int32)
+        tiles_per_cell = _cdiv(f_cnt, E)
+        T = int(tiles_per_cell.sum())
+        ob = np.repeat(cell_w, tiles_per_cell)
+        sb = np.repeat(cell_b, tiles_per_cell)
+        tile_of_cell = np.zeros(len(f_cnt) + 1, np.int64)
+        np.cumsum(tiles_per_cell, out=tile_of_cell[1:])
+        pos_in_cell = np.arange(n_fe) - np.repeat(f_start[:-1], f_cnt)
+        tile_idx = np.repeat(tile_of_cell[:-1], f_cnt) + pos_in_cell // E
+        slot = tile_idx * E + pos_in_cell % E
+        dst_slots = np.full(T * E, -1, np.int32)
+        srcl = np.full(T * E, -1, np.int32)
+        dst_slots[slot] = f_dst
+        srcl[slot] = (f_src % x_rows).astype(np.int32)
+        w3 = None
+        if w_sorted is not None:
+            w3 = np.zeros(T * E, np.float32)
+            w3[slot] = w_sorted[f_order]
+        edge_pos = None
+        if build_edge_pos:
+            edge_pos = np.zeros(T * E, np.int32)
+            edge_pos[slot] = f_order.astype(np.int32)
 
-    # coverage tiles for windows with no streamed cells
-    missing = np.setdiff1d(np.arange(n_blocks, dtype=np.int32), cell_w)
-    if len(missing):
-        T2 = T + len(missing)
-        ob = np.concatenate([ob, missing])
-        sb = np.concatenate([sb, np.zeros(len(missing), np.int32)])
-        o2 = np.argsort(ob, kind="stable")
-        pad_rows = np.full((len(missing), E), -1, np.int32)
-        dst_slots = np.concatenate([dst_slots.reshape(T, E), pad_rows])[o2]
-        srcl = np.concatenate([srcl.reshape(T, E), pad_rows])[o2]
+        arrays = dict(
+            out_block=ob.astype(np.int32),
+            sblock=sb.astype(np.int32),
+            dst3=dst_slots.reshape(T, 1, E),
+            srcl3=srcl.reshape(T, 1, E),
+        )
         if w3 is not None:
-            w3 = np.concatenate(
-                [w3.reshape(T, E), np.zeros((len(missing), E), np.float32)]
-            )[o2]
+            arrays["w3"] = w3.reshape(T, 1, E)
         if edge_pos is not None:
-            edge_pos = np.concatenate(
-                [edge_pos.reshape(T, E), np.zeros((len(missing), E), np.int32)]
-            )[o2]
-        ob, sb = ob[o2], sb[o2]
-        # keep sblock non-decreasing within runs where possible: coverage
-        # tiles reuse the previous tile's block to skip a DMA re-fetch
-        T = T2
-        dst_slots = dst_slots.reshape(-1)
-        srcl = srcl.reshape(-1)
-        if w3 is not None:
-            w3 = w3.reshape(-1)
-        if edge_pos is not None:
-            edge_pos = edge_pos.reshape(-1)
+            arrays["edge_pos"] = edge_pos.reshape(T, 1, E)
+        # per-chunk SLOT budget: max_chunk_tiles is calibrated for
+        # E=512-ish tiles; scale so tiles*E stays bounded
+        mct = max(min(max_chunk_tiles, (max_chunk_tiles * 512) // E), 1)
+        meta = dict(
+            e_tile=int(E),
+            s_tile=int(s_tile),
+            x_rows=int(x_rows),
+            num_segments=int(num_segments),
+            n_blocks=int(n_blocks),
+            n_xblocks=int(n_xb),
+            num_edges=int(n_fe),
+            chunks=compute_chunks(arrays["out_block"], mct),
+            chunk_blocks=0,
+        )
+        _uniformize_stream_chunks(arrays, meta)
+        _add_visited(arrays, meta)
+        families.append((arrays, meta))
+        fam_stats.append(
+            dict(e_tile=int(E), n_tiles=int(arrays["out_block"].shape[0]),
+                 edges=n_fe,
+                 fill=n_fe / max(arrays["out_block"].shape[0] * E, 1))
+        )
+    stats["families"] = fam_stats
+    stats["n_tiles"] = int(sum(f["n_tiles"] for f in fam_stats))
+    stats["fill"] = streamed / max(
+        sum(f["n_tiles"] * f["e_tile"] for f in fam_stats), 1
+    )
+    return families, rest_mask, stats
 
-    arrays = dict(
-        out_block=ob.astype(np.int32),
-        sblock=sb.astype(np.int32),
-        dst3=dst_slots.reshape(T, 1, E),
-        srcl3=srcl.reshape(T, 1, E),
-    )
-    if w3 is not None:
-        arrays["w3"] = w3.reshape(T, 1, E)
-    if edge_pos is not None:
-        arrays["edge_pos"] = edge_pos.reshape(T, 1, E)
-    meta = dict(
-        e_tile=E,
-        s_tile=int(s_tile),
-        x_rows=int(x_rows),
-        num_segments=int(num_segments),
-        n_blocks=int(n_blocks),
-        n_xblocks=int(n_xb),
-        num_edges=int(n_se),
-        chunks=compute_chunks(arrays["out_block"], max_chunk_tiles),
-        chunk_blocks=0,
-    )
-    _uniformize_stream_chunks(arrays, meta)
-    stats["n_tiles"] = int(arrays["out_block"].shape[0])
-    stats["fill"] = n_se / max(arrays["out_block"].shape[0] * E, 1)
-    return arrays, meta, rest_mask, stats
+
+def _add_visited(arrays: dict, meta: dict) -> None:
+    """0/1 mask of output windows this family writes. Replaces coverage
+    tiles: the executor selects visited rows and leaves the rest to other
+    families / the zero carry (uninitialized kernel output is never read)."""
+    ob = arrays["out_block"]
+    chunks = meta["chunks"]
+    if not chunks:
+        v = np.zeros(meta["n_blocks"], np.int32)
+        # pad tiles (all -1 slots) are only emitted by the chunked path, so
+        # every tile here is real
+        v[np.unique(ob)] = 1
+        arrays["visited"] = v
+        return
+    W_c = meta["chunk_blocks"]
+    E = meta["e_tile"]
+    real = (arrays["srcl3"][:, 0, :] >= 0).any(axis=1)
+    v = np.zeros((len(chunks), W_c), np.int32)
+    for i, (t0, t1, w0, w1) in enumerate(chunks):
+        wins = np.unique(ob[t0:t1][real[t0:t1]]) - w0
+        wins = wins[(wins >= 0) & (wins < W_c)]
+        v[i, wins] = 1
+    arrays["visited"] = v
 
 
 def _uniformize_stream_chunks(arrays: dict, meta: dict) -> None:
     """Pad every chunk to identical (tiles, windows) so the scan executor
     compiles ONE chunk body (cf. `plan._uniformize_bat_chunks`). Pad tiles
-    carry all--1 slots (contribute nothing) and cover the pad windows."""
+    carry all--1 slots (contribute nothing) and point at pad windows."""
     chunks = meta["chunks"]
     if not chunks:
         return
@@ -414,6 +456,9 @@ def stream_plan_from_host(arrays: dict, meta: dict) -> StreamPlan:
         w3=jnp.asarray(arrays["w3"]) if "w3" in arrays else None,
         edge_pos=(
             jnp.asarray(arrays["edge_pos"]) if "edge_pos" in arrays else None
+        ),
+        visited=(
+            jnp.asarray(arrays["visited"]) if "visited" in arrays else None
         ),
         **meta,
     )

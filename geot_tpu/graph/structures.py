@@ -284,13 +284,13 @@ def build_graph(
         )
 
         def _build_hyb(d_sorted, g_idx, w_e):
-            arrs, meta, rest_mask, _st = build_stream_split_host(
+            families, rest_mask, _st = build_stream_split_host(
                 d_sorted, g_idx, num_nodes, num_nodes,
                 edge_weight=w_e, feature_hint=feature_hint,
             )
-            if arrs is None:
+            if families is None:
                 return None
-            sp = stream_plan_from_host(arrs, meta)
+            sp = tuple(stream_plan_from_host(a, m) for a, m in families)
             rest = rest_src = rest_w = None
             if rest_mask.any():
                 row_b = max(feature_hint or 128, 1) * 4

@@ -740,25 +740,23 @@ def _spmm_fwd_bat(bp: BatPlan, x, src, w_edge, token_gate=True):
     return out[:, :n] if x.shape[1] != n else out
 
 
-def _stream_sum(sp, x: jax.Array) -> jax.Array:
-    """Gather-free streaming segment sum over a StreamPlan (weights, if
-    any, are baked into sp.w3 at build). Returns [num_segments, n]."""
+def _stream_accum(sp, x, carry, f_pad, f_tile):
+    """Add one stream family's contribution into the carry buffer
+    [n_blocks*s + pad, f_pad]. Only windows the family actually writes
+    (sp.visited) reach the carry — unwritten windows are uninitialized
+    kernel output (round-4: replaces coverage tiles)."""
     from geot_tpu.ops.pallas_segment import stream_segment_sum
 
-    n = x.shape[1]
-    f_tile = _pick_f_tile(n)
-    f_pad = _round_up(max(n, 1), f_tile)
-    rows_pad = sp.n_xblocks * sp.x_rows
-    if f_pad != n or rows_pad != x.shape[0]:
-        x = jnp.pad(x, ((0, rows_pad - x.shape[0]), (0, f_pad - n)))
     s = sp.s_tile
-
     if not sp.chunks:
         out = stream_segment_sum(
             sp.out_block, sp.sblock, sp.dst3, sp.srcl3, x, sp.w3,
             s_tile=s, x_rows=sp.x_rows, n_blocks=sp.n_blocks, f_tile=f_tile,
-        )
-        return out[: sp.num_segments, :n]
+        ).astype(jnp.float32)
+        if sp.visited is not None:
+            mask = jnp.repeat(sp.visited, s)[:, None] > 0
+            out = jnp.where(mask, out, 0.0)
+        return carry.at[: sp.n_blocks * s, :].add(out)
 
     # uniform chunks under lax.scan: ONE compiled chunk body; chunk outputs
     # overlap only on hub-split boundary windows, so accumulating each
@@ -771,38 +769,56 @@ def _stream_sum(sp, x: jax.Array) -> jax.Array:
     W_c = sp.chunk_blocks
     assert all(t1 - t0 == T_c for t0, t1, _, _ in sp.chunks)
     w0s = jnp.asarray(np.asarray([c[2] for c in sp.chunks], np.int32))
-    w1s = jnp.asarray(np.asarray([c[3] for c in sp.chunks], np.int32))
     ob2 = sp.out_block.reshape(C, T_c) - w0s[:, None]
     sb2 = sp.sblock.reshape(C, T_c)
     dst2 = sp.dst3.reshape(C, T_c, 1, sp.e_tile)
     srcl2 = sp.srcl3.reshape(C, T_c, 1, sp.e_tile)
     w2 = None if sp.w3 is None else sp.w3.reshape(C, T_c, 1, sp.e_tile)
+    v2 = sp.visited  # [C, W_c]
 
     def body(carry, xs):
         if w2 is None:
-            w0, w1, ob_i, sb_i, dst_i, srcl_i = xs
+            w0, v_i, ob_i, sb_i, dst_i, srcl_i = xs
             w_i = None
         else:
-            w0, w1, ob_i, sb_i, dst_i, srcl_i, w_i = xs
+            w0, v_i, ob_i, sb_i, dst_i, srcl_i, w_i = xs
         out_c = stream_segment_sum(
             ob_i, sb_i, dst_i - w0 * s, srcl_i, x, w_i,
             s_tile=s, x_rows=sp.x_rows, n_blocks=W_c, f_tile=f_tile,
         ).astype(jnp.float32)
-        # rows past the chunk's REAL windows may be uninitialized kernel
-        # output (full chunks have no spare tile to cover pad windows) —
-        # they must not reach the carry
-        rows = jax.lax.broadcasted_iota(jnp.int32, (W_c * s, 1), 0)
-        out_c = jnp.where(rows < (w1 - w0) * s, out_c, 0.0)
+        # windows this chunk never writes (incl. uniformize pad windows)
+        # are uninitialized kernel output — they must not reach the carry
+        out_c = jnp.where(jnp.repeat(v_i, s)[:, None] > 0, out_c, 0.0)
         off = w0 * s
         cur = jax.lax.dynamic_slice(carry, (off, 0), (W_c * s, f_pad))
         return jax.lax.dynamic_update_slice(carry, cur + out_c, (off, 0)), None
 
-    carry0 = jnp.zeros((sp.n_blocks * s + W_c * s, f_pad), jnp.float32)
-    xs = (w0s, w1s, ob2, sb2, dst2, srcl2)
+    xs = (w0s, v2, ob2, sb2, dst2, srcl2)
     if w2 is not None:
         xs = xs + (w2,)
-    out, _ = jax.lax.scan(body, carry0, xs)
-    return out[: sp.num_segments, :n].astype(x.dtype)
+    out, _ = jax.lax.scan(body, carry, xs)
+    return out
+
+
+def _stream_sum(plans, x: jax.Array) -> jax.Array:
+    """Gather-free streaming segment sum over StreamPlan families (weights,
+    if any, are baked into each family's w3 at build). Families (one per
+    tile size — round-4 per-cell e_tile assignment) add into one carry.
+    Returns [num_segments, n]."""
+    fams = tuple(plans) if isinstance(plans, (list, tuple)) else (plans,)
+    sp0 = fams[0]
+    n = x.shape[1]
+    f_tile = _pick_f_tile(n)
+    f_pad = _round_up(max(n, 1), f_tile)
+    rows_pad = sp0.n_xblocks * sp0.x_rows
+    if f_pad != n or rows_pad != x.shape[0]:
+        x = jnp.pad(x, ((0, rows_pad - x.shape[0]), (0, f_pad - n)))
+    s = sp0.s_tile
+    tail = max([sp.chunk_blocks for sp in fams] + [0])
+    carry = jnp.zeros((sp0.n_blocks * s + tail * s, f_pad), jnp.float32)
+    for sp in fams:
+        carry = _stream_accum(sp, x, carry, f_pad, f_tile)
+    return carry[: sp0.num_segments, :n].astype(x.dtype)
 
 
 def _spmm_fwd_hybrid(hyb, x: jax.Array) -> jax.Array:

@@ -41,7 +41,7 @@ def run(mix: float):
     rng = np.random.default_rng(0)
     w = rng.standard_normal(n_edges).astype(np.float32)
     census = cell_census(dst, src)
-    arrs, meta, rest_mask, stats = build_stream_split_host(
+    families, rest_mask, stats = build_stream_split_host(  # round-4 API
         dst, src, n_nodes, n_nodes, edge_weight=w, feature_hint=N
     )
     print(f"mix={mix} build {time.time()-t0:.0f}s stats={stats}", flush=True)
@@ -51,8 +51,8 @@ def run(mix: float):
                stream_frac=round(stats.get("stream_frac", 0.0), 4),
                frac_ge_128=round(census["frac_ge_128"], 4))
     mct = max((1 << 30) // (N * 4 * 1024), 1)
-    if arrs is not None:
-        sp = stream_plan_from_host(arrs, meta)
+    if families is not None:
+        sp = tuple(stream_plan_from_host(a, m) for a, m in families)
         rest = rest_src = rest_w = None
         if rest_mask.any():
             rest = build_bat_plan(dst[rest_mask], n_nodes, e_tile=1024,

@@ -33,15 +33,15 @@ w = rng.standard_normal(n_edges).astype(np.float32)
 print(f"gen+sort {time.time()-t0:.1f}s", flush=True)
 
 t0 = time.time()
-arrs, meta, rest_mask, stats = build_stream_split_host(
+families, rest_mask, stats = build_stream_split_host(  # round-4 API
     dst, src, n_nodes, n_nodes, edge_weight=w, feature_hint=N
 )
 print(f"split build {time.time()-t0:.1f}s stats={stats}", flush=True)
 
 x = jnp.asarray(rng.standard_normal((n_nodes, N)).astype(np.float32))
 
-if arrs is not None:
-    sp = stream_plan_from_host(arrs, meta)
+if families is not None:
+    sp = tuple(stream_plan_from_host(a, m) for a, m in families)
     rest = rest_src = rest_w = None
     if rest_mask.any():
         t0 = time.time()

@@ -13,13 +13,13 @@ g = prepare_graph(d.src, d.dst, n_nodes, add_self_loops=False,
                   edge_weight=w, layouts=("bat","slot","stream"))
 print("hyb:", g.hyb is not None, "hyb_t:", g.hyb_t is not None)
 if g.hyb is not None:
-    sp = g.hyb.stream
-    print("stream plan:", {k: getattr(sp, k) for k in dir(sp) if not k.startswith('_') and isinstance(getattr(sp, k), (int, float))})
+    for sp in g.hyb.stream:  # round-4: tuple of tile-size families
+        print("stream plan:", {k: getattr(sp, k) for k in dir(sp) if not k.startswith('_') and isinstance(getattr(sp, k), (int, float))})
     print("rest:", g.hyb.rest is not None)
 from geot_tpu.graph.stream_plan import build_stream_split_host
 order = np.argsort(d.dst, kind="stable")
-arrs, meta, rest_mask, st = build_stream_split_host(
+families, rest_mask, st = build_stream_split_host(  # round-4 API
     d.dst[order], d.src[order], n_nodes, n_nodes,
     edge_weight=w[order], feature_hint=128)
 print("census:", st)
-print("built:", arrs is not None, "rest frac:", rest_mask.mean() if rest_mask is not None else None)
+print("built:", families is not None, "rest frac:", rest_mask.mean() if rest_mask is not None else None)

@@ -20,11 +20,14 @@ from geot_tpu.ops.api import _spmm_fwd_hybrid, _stream_sum, segment_spmm
 
 
 def _clustered_edges(n, nnz_dense, nnz_uniform, s_tile=256, x_rows=256, seed=0):
-    """Edges with dense (window, block) cells plus uniform noise."""
+    """Edges with dense (window, block) cells plus uniform noise. Cell
+    density 1500 sits above the round-4 cost-model crossover at SMALL
+    tables (bat_edge_ns = 4.5 there, so cells must be ~1k+ edges to beat
+    the gather path; at products-scale tables the crossover is ~80)."""
     rng = np.random.default_rng(seed)
     n_w = max(n // s_tile, 1)
     n_b = max(n // x_rows, 1)
-    epc = 600
+    epc = 1500
     n_cells = max(nnz_dense // epc, 1)
     cw = rng.integers(0, n_w, n_cells)
     cb = rng.integers(0, n_b, n_cells)
@@ -51,14 +54,14 @@ def test_stream_split_matches_reference(weighted):
     src, dst, = _clustered_edges(n, 30_000, 3_000)
     rng = np.random.default_rng(1)
     w = rng.standard_normal(len(src)).astype(np.float32) if weighted else None
-    arrs, meta, rest_mask, stats = build_stream_split_host(
+    families, rest_mask, stats = build_stream_split_host(
         dst, src, n, n, edge_weight=w, min_stream_frac=0.05
     )
-    assert arrs is not None, stats
+    assert families is not None, stats
     assert stats["stream_frac"] > 0.5, stats
-    sp = stream_plan_from_host(arrs, meta)
+    sps = tuple(stream_plan_from_host(a, m) for a, m in families)
     x = rng.standard_normal((n, 96)).astype(np.float32)
-    out = _stream_sum(sp, jnp.asarray(x))
+    out = _stream_sum(sps, jnp.asarray(x))
     # streamed part only: reference over the streamed edges
     sm = ~rest_mask
     ref = _ref(src[sm], dst[sm], x, n, None if w is None else w[sm])
@@ -68,14 +71,16 @@ def test_stream_split_matches_reference(weighted):
 def test_stream_chunked_scan_matches_reference():
     n = 2000
     src, dst = _clustered_edges(n, 40_000, 0, seed=2)
-    arrs, meta, rest_mask, stats = build_stream_split_host(
+    families, rest_mask, stats = build_stream_split_host(
         dst, src, n, n, min_stream_frac=0.05, max_chunk_tiles=8
     )
-    assert arrs is not None and len(meta["chunks"]) > 2, (stats, meta["chunks"])
-    sp = stream_plan_from_host(arrs, meta)
+    assert families is not None, stats
+    assert any(len(m["chunks"]) > 2 for _, m in families), (
+        stats, [m["chunks"] for _, m in families])
+    sps = tuple(stream_plan_from_host(a, m) for a, m in families)
     rng = np.random.default_rng(3)
     x = rng.standard_normal((n, 64)).astype(np.float32)
-    out = _stream_sum(sp, jnp.asarray(x))
+    out = _stream_sum(sps, jnp.asarray(x))
     sm = ~rest_mask
     ref = _ref(src[sm], dst[sm], x, n)
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
@@ -128,10 +133,39 @@ def test_uniform_graph_skips_stream():
     rng = np.random.default_rng(8)
     src = rng.integers(0, n, 30_000).astype(np.int32)
     dst = np.sort(rng.integers(0, n, 30_000)).astype(np.int32)
-    arrs, meta, rest_mask, stats = build_stream_split_host(dst, src, n, n)
-    assert arrs is None and rest_mask.all()
+    families, rest_mask, stats = build_stream_split_host(dst, src, n, n)
+    assert families is None and rest_mask.all()
     g = build_graph(src, dst, n, feature_hint=128)
     assert g.hyb is None  # degenerates to the BAT path
+
+
+def test_mixed_tile_size_families():
+    # hub cells (huge) get big tiles, modest cells small ones (round-4
+    # per-cell e_tile assignment); both families must agree with the oracle
+    n = 4096
+    rng = np.random.default_rng(9)
+    # one giant cell in the LAST (window, block) — cnt 4000 is where
+    # e_tile=4096 beats 2048 (1x8.94us vs 2x4.94us) — plus modest
+    # 1500-edge cells confined to earlier windows (no accidental merge)
+    dst_h = n - 256 + rng.integers(0, 256, 4000)
+    src_h = n - 256 + rng.integers(0, 256, 4000)
+    src_m, dst_m = _clustered_edges(n - 512, 18_000, 0, seed=10)
+    dst = np.concatenate([dst_h, dst_m]).astype(np.int64)
+    src = np.concatenate([src_h, src_m]).astype(np.int64)
+    order = np.argsort(dst, kind="stable")
+    dst, src = dst[order], src[order]
+    families, rest_mask, stats = build_stream_split_host(
+        dst, src, n, n, min_stream_frac=0.05
+    )
+    assert families is not None, stats
+    e_tiles = sorted(m["e_tile"] for _, m in families)
+    assert len(e_tiles) >= 2 and e_tiles[-1] >= 4096, stats["families"]
+    sps = tuple(stream_plan_from_host(a, m) for a, m in families)
+    x = rng.standard_normal((n, 96)).astype(np.float32)
+    out = _stream_sum(sps, jnp.asarray(x))
+    sm = ~rest_mask
+    ref = _ref(src[sm], dst[sm], x, n)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
 
 
 def test_cell_census_separates_regimes():
