@@ -35,8 +35,10 @@ _PLAN_TYPES = {
 # caches miss and rebuild. (v2: hybrid stream+gather plans added; v3: the
 # stream-split margin gate — v2-era caches may carry hyb plans the current
 # policy rejects, e.g. arxiv-scale uniform graphs where hybrid measured 2x
-# slower than pure BAT.)
-FORMAT_VERSION = 3
+# slower than pure BAT; v4: per-cell tile-size stream families +
+# aliased-carry execution — coverage tiles and chunk-local windows are
+# gone, so v3 single-plan hyb layouts no longer run.)
+FORMAT_VERSION = 4
 
 
 def _split_fields(obj):

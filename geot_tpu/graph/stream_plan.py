@@ -93,10 +93,10 @@ class StreamPlan:
       edge_pos:  [T, 1, E] int32 or None — slot -> index into the caller's
         dst-sorted edge arrays (0 on padding; pads contribute nothing via
         srcl3 = -1), for routing dynamic per-call weights.
-      visited:   int32 0/1 — which output windows this family actually
-        writes (unwritten windows are uninitialized kernel output and are
-        masked by the executor; replaces round-3's coverage tiles).
-        Shape [n_blocks] unchunked, [n_chunks, chunk_blocks] chunked.
+
+    Execution accumulates straight into a shared carry via the aliased
+    kernel (`stream_segment_acc`): windows a family never visits are never
+    touched, so there are no coverage tiles and no visited masks.
     """
 
     out_block: jax.Array
@@ -105,7 +105,6 @@ class StreamPlan:
     srcl3: jax.Array
     w3: Optional[jax.Array]
     edge_pos: Optional[jax.Array]
-    visited: Optional[jax.Array]
     e_tile: int = dataclasses.field(metadata=dict(static=True))
     s_tile: int = dataclasses.field(metadata=dict(static=True))
     x_rows: int = dataclasses.field(metadata=dict(static=True))
@@ -261,7 +260,13 @@ def build_stream_split_host(
         cell_e = np.full(len(cell_cnt), e_tile, np.int32)
     else:
         stream_cost, cell_e = _cell_stream_cost(cell_cnt)
-    sel_cells = stream_cost < cell_cnt * bat_edge_ns
+    # the REST path runs on the residue, which is sparser per dst window
+    # than the whole graph the bat_edge_ns points were calibrated on —
+    # measured premium 17.26/14.0 ns/edge at products-clustered
+    # (scratch_r4/hybrid_parts.log), so cells compare against the residue
+    # cost, not the whole-graph cost
+    rest_edge_ns = bat_edge_ns * 1.2
+    sel_cells = stream_cost < cell_cnt * rest_edge_ns
     streamed = int(cell_cnt[sel_cells].sum())
     stream_frac = streamed / nnz
     est_stream_ms = float(stream_cost[sel_cells].sum()) / 1e6
@@ -371,7 +376,6 @@ def build_stream_split_host(
             chunk_blocks=0,
         )
         _uniformize_stream_chunks(arrays, meta)
-        _add_visited(arrays, meta)
         families.append((arrays, meta))
         fam_stats.append(
             dict(e_tile=int(E), n_tiles=int(arrays["out_block"].shape[0]),
@@ -386,34 +390,11 @@ def build_stream_split_host(
     return families, rest_mask, stats
 
 
-def _add_visited(arrays: dict, meta: dict) -> None:
-    """0/1 mask of output windows this family writes. Replaces coverage
-    tiles: the executor selects visited rows and leaves the rest to other
-    families / the zero carry (uninitialized kernel output is never read)."""
-    ob = arrays["out_block"]
-    chunks = meta["chunks"]
-    if not chunks:
-        v = np.zeros(meta["n_blocks"], np.int32)
-        # pad tiles (all -1 slots) are only emitted by the chunked path, so
-        # every tile here is real
-        v[np.unique(ob)] = 1
-        arrays["visited"] = v
-        return
-    W_c = meta["chunk_blocks"]
-    E = meta["e_tile"]
-    real = (arrays["srcl3"][:, 0, :] >= 0).any(axis=1)
-    v = np.zeros((len(chunks), W_c), np.int32)
-    for i, (t0, t1, w0, w1) in enumerate(chunks):
-        wins = np.unique(ob[t0:t1][real[t0:t1]]) - w0
-        wins = wins[(wins >= 0) & (wins < W_c)]
-        v[i, wins] = 1
-    arrays["visited"] = v
-
-
 def _uniformize_stream_chunks(arrays: dict, meta: dict) -> None:
-    """Pad every chunk to identical (tiles, windows) so the scan executor
+    """Pad every chunk to identical tile counts so the scan executor
     compiles ONE chunk body (cf. `plan._uniformize_bat_chunks`). Pad tiles
-    carry all--1 slots (contribute nothing) and point at pad windows."""
+    carry all--1 slots (contribute nothing) and point at the chunk's last
+    real window (they join its run; the flush is idempotent)."""
     chunks = meta["chunks"]
     if not chunks:
         return
@@ -438,9 +419,9 @@ def _uniformize_stream_chunks(arrays: dict, meta: dict) -> None:
         base = i * T_max
         for k in new:
             new[k][base : base + nt] = arrays[k][t0:t1]
-        pad_windows = list(range(w1, w0 + W_max))
-        pad_ob = (pad_windows + [w0 + W_max - 1] * T_max)[: T_max - nt]
-        new["out_block"][base + nt : base + T_max] = np.asarray(pad_ob, np.int32)
+        # pad tiles join the chunk's last real window: all -1 slots add
+        # nothing, and the aliased flush just rewrites the same value
+        new["out_block"][base + nt : base + T_max] = w1 - 1
         new_chunks.append((base, base + T_max, int(w0), int(w1)))
     arrays.update(new)
     meta["chunks"] = tuple(new_chunks)
@@ -456,9 +437,6 @@ def stream_plan_from_host(arrays: dict, meta: dict) -> StreamPlan:
         w3=jnp.asarray(arrays["w3"]) if "w3" in arrays else None,
         edge_pos=(
             jnp.asarray(arrays["edge_pos"]) if "edge_pos" in arrays else None
-        ),
-        visited=(
-            jnp.asarray(arrays["visited"]) if "visited" in arrays else None
         ),
         **meta,
     )

@@ -740,60 +740,47 @@ def _spmm_fwd_bat(bp: BatPlan, x, src, w_edge, token_gate=True):
     return out[:, :n] if x.shape[1] != n else out
 
 
-def _stream_accum(sp, x, carry, f_pad, f_tile):
+def _stream_accum(sp, x, carry, f_tile):
     """Add one stream family's contribution into the carry buffer
-    [n_blocks*s + pad, f_pad]. Only windows the family actually writes
-    (sp.visited) reach the carry — unwritten windows are uninitialized
-    kernel output (round-4: replaces coverage tiles)."""
-    from geot_tpu.ops.pallas_segment import stream_segment_sum
+    [n_blocks*s, f_pad] via the aliased accumulate kernel — only the
+    window blocks this family's tiles visit are touched (round-4: sparse-
+    window families previously paid a full-size combine buffer per chunk,
+    ~2x at products scale)."""
+    from geot_tpu.ops.pallas_segment import stream_segment_acc
 
     s = sp.s_tile
     if not sp.chunks:
-        out = stream_segment_sum(
-            sp.out_block, sp.sblock, sp.dst3, sp.srcl3, x, sp.w3,
-            s_tile=s, x_rows=sp.x_rows, n_blocks=sp.n_blocks, f_tile=f_tile,
-        ).astype(jnp.float32)
-        if sp.visited is not None:
-            mask = jnp.repeat(sp.visited, s)[:, None] > 0
-            out = jnp.where(mask, out, 0.0)
-        return carry.at[: sp.n_blocks * s, :].add(out)
+        return stream_segment_acc(
+            sp.out_block, sp.sblock, sp.dst3, sp.srcl3, x, carry, sp.w3,
+            s_tile=s, x_rows=sp.x_rows, f_tile=f_tile,
+        )
 
-    # uniform chunks under lax.scan: ONE compiled chunk body; chunk outputs
-    # overlap only on hub-split boundary windows, so accumulating each
-    # chunk's [W_c*s, f] block into the carry at w0*s is exact (same stitch
-    # as `_bat_sum_scan`)
-    import numpy as np
-
+    # uniform chunks under lax.scan: ONE compiled chunk body, each chunk
+    # accumulating straight into the carry (hub windows split mid-chunk
+    # combine correctly: later chunks read the earlier partial via the
+    # aliased carry block)
     C = len(sp.chunks)
     T_c = sp.chunks[0][1] - sp.chunks[0][0]
-    W_c = sp.chunk_blocks
     assert all(t1 - t0 == T_c for t0, t1, _, _ in sp.chunks)
-    w0s = jnp.asarray(np.asarray([c[2] for c in sp.chunks], np.int32))
-    ob2 = sp.out_block.reshape(C, T_c) - w0s[:, None]
+    ob2 = sp.out_block.reshape(C, T_c)  # GLOBAL windows
     sb2 = sp.sblock.reshape(C, T_c)
     dst2 = sp.dst3.reshape(C, T_c, 1, sp.e_tile)
     srcl2 = sp.srcl3.reshape(C, T_c, 1, sp.e_tile)
     w2 = None if sp.w3 is None else sp.w3.reshape(C, T_c, 1, sp.e_tile)
-    v2 = sp.visited  # [C, W_c]
 
     def body(carry, xs):
         if w2 is None:
-            w0, v_i, ob_i, sb_i, dst_i, srcl_i = xs
+            ob_i, sb_i, dst_i, srcl_i = xs
             w_i = None
         else:
-            w0, v_i, ob_i, sb_i, dst_i, srcl_i, w_i = xs
-        out_c = stream_segment_sum(
-            ob_i, sb_i, dst_i - w0 * s, srcl_i, x, w_i,
-            s_tile=s, x_rows=sp.x_rows, n_blocks=W_c, f_tile=f_tile,
-        ).astype(jnp.float32)
-        # windows this chunk never writes (incl. uniformize pad windows)
-        # are uninitialized kernel output — they must not reach the carry
-        out_c = jnp.where(jnp.repeat(v_i, s)[:, None] > 0, out_c, 0.0)
-        off = w0 * s
-        cur = jax.lax.dynamic_slice(carry, (off, 0), (W_c * s, f_pad))
-        return jax.lax.dynamic_update_slice(carry, cur + out_c, (off, 0)), None
+            ob_i, sb_i, dst_i, srcl_i, w_i = xs
+        carry = stream_segment_acc(
+            ob_i, sb_i, dst_i, srcl_i, x, carry, w_i,
+            s_tile=s, x_rows=sp.x_rows, f_tile=f_tile,
+        )
+        return carry, None
 
-    xs = (w0s, v2, ob2, sb2, dst2, srcl2)
+    xs = (ob2, sb2, dst2, srcl2)
     if w2 is not None:
         xs = xs + (w2,)
     out, _ = jax.lax.scan(body, carry, xs)
@@ -803,8 +790,8 @@ def _stream_accum(sp, x, carry, f_pad, f_tile):
 def _stream_sum(plans, x: jax.Array) -> jax.Array:
     """Gather-free streaming segment sum over StreamPlan families (weights,
     if any, are baked into each family's w3 at build). Families (one per
-    tile size — round-4 per-cell e_tile assignment) add into one carry.
-    Returns [num_segments, n]."""
+    tile size — round-4 per-cell e_tile assignment) accumulate into one
+    carry. Returns [num_segments, n]."""
     fams = tuple(plans) if isinstance(plans, (list, tuple)) else (plans,)
     sp0 = fams[0]
     n = x.shape[1]
@@ -813,11 +800,9 @@ def _stream_sum(plans, x: jax.Array) -> jax.Array:
     rows_pad = sp0.n_xblocks * sp0.x_rows
     if f_pad != n or rows_pad != x.shape[0]:
         x = jnp.pad(x, ((0, rows_pad - x.shape[0]), (0, f_pad - n)))
-    s = sp0.s_tile
-    tail = max([sp.chunk_blocks for sp in fams] + [0])
-    carry = jnp.zeros((sp0.n_blocks * s + tail * s, f_pad), jnp.float32)
+    carry = jnp.zeros((sp0.n_blocks * sp0.s_tile, f_pad), jnp.float32)
     for sp in fams:
-        carry = _stream_accum(sp, x, carry, f_pad, f_tile)
+        carry = _stream_accum(sp, x, carry, f_tile)
     return carry[: sp0.num_segments, :n].astype(x.dtype)
 
 

@@ -1005,7 +1005,7 @@ def bat_segment_sum_packed(
 # ---------------------------------------------------------------------------
 
 
-def _stream_kernel(*refs, s_tile, x_rows, has_w):
+def _stream_kernel(*refs, s_tile, x_rows, has_w, inout=False):
     ob_ref, sb_ref = refs[0], refs[1]
     i = 2
     dst_ref = refs[i]; i += 1
@@ -1014,6 +1014,9 @@ def _stream_kernel(*refs, s_tile, x_rows, has_w):
     if has_w:
         w_ref = refs[i]; i += 1
     x_ref = refs[i]; i += 1
+    oin_ref = None
+    if inout:
+        oin_ref = refs[i]; i += 1
     o_ref, acc_ref = refs[i], refs[i + 1]
 
     t = pl.program_id(1)
@@ -1046,7 +1049,82 @@ def _stream_kernel(*refs, s_tile, x_rows, has_w):
 
     @pl.when(last)
     def _():
-        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+        if oin_ref is None:
+            o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+        else:
+            # accumulate-into-carry mode: the output aliases the carry
+            # buffer, so windows this plan never visits keep their prior
+            # contents for free (no coverage tiles, no masking pass)
+            o_ref[:] = (
+                oin_ref[:].astype(jnp.float32) + acc_ref[:]
+            ).astype(o_ref.dtype)
+
+
+def stream_segment_acc(
+    ob: jax.Array,  # [T] int32 GLOBAL window per tile, non-decreasing
+    sb: jax.Array,  # [T] int32 x block per tile
+    dst3: jax.Array,  # [T, 1, E] global dst ids, -1 pad
+    srcl3: jax.Array,  # [T, 1, E] block-local src ids, -1 pad
+    x: jax.Array,  # [n_xblocks*x_rows, f_pad]
+    carry: jax.Array,  # [n_blocks*s_tile, f_pad] f32 accumulator
+    w3: Optional[jax.Array] = None,
+    *,
+    s_tile: int,
+    x_rows: int,
+    f_tile: int = 128,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Gather-free streaming segment-sum that ACCUMULATES into `carry`
+    (output aliases the carry input). This is how stream families and
+    scan chunks combine: each call touches only the window blocks its
+    tiles visit — sparse-window families cost nothing on the rest of the
+    output (round-4; the previous full-buffer + mask combine paid ~2x on
+    products-scale sparse families)."""
+    if interpret is None:
+        interpret = default_interpret()
+    T = ob.shape[0]
+    e_tile = dst3.shape[2]
+    f_pad = x.shape[1]
+    assert f_pad % f_tile == 0, (f_pad, f_tile)
+    assert x.shape[0] % x_rows == 0, (x.shape, x_rows)
+    assert carry.shape[1] == f_pad and carry.shape[0] % s_tile == 0, (
+        carry.shape, f_pad, s_tile)
+    n_f = f_pad // f_tile
+
+    in_specs = [
+        pl.BlockSpec((1, 1, e_tile), lambda f, t, ob, sb: (t, 0, 0)),
+        pl.BlockSpec((1, 1, e_tile), lambda f, t, ob, sb: (t, 0, 0)),
+    ]
+    operands = [dst3, srcl3]
+    if w3 is not None:
+        in_specs += [pl.BlockSpec((1, 1, e_tile), lambda f, t, ob, sb: (t, 0, 0))]
+        operands += [w3]
+    in_specs += [
+        pl.BlockSpec((x_rows, f_tile), lambda f, t, ob, sb: (sb[t], f)),
+        pl.BlockSpec((s_tile, f_tile), lambda f, t, ob, sb: (ob[t], f)),
+    ]
+    operands += [x, carry]
+    # alias the carry operand to the output; indices are over ALL flattened
+    # inputs INCLUDING the two scalar-prefetch args
+    carry_idx = 2 + len(operands) - 1
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_f, T),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((s_tile, f_tile), lambda f, t, ob, sb: (ob[t], f)),
+        scratch_shapes=[pltpu.VMEM((s_tile, f_tile), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _stream_kernel, s_tile=s_tile, x_rows=x_rows,
+            has_w=w3 is not None, inout=True,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(carry.shape, carry.dtype),
+        input_output_aliases={carry_idx: 0},
+        interpret=interpret,
+    )(ob, sb, *operands)
 
 
 def stream_segment_sum(

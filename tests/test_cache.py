@@ -34,13 +34,10 @@ def test_graph_npz_roundtrip(tmp_path, monkeypatch):
         assert g2.hyb is not None
         assert len(g2.hyb.stream) == len(g.hyb.stream)
         for spa, spb in zip(g2.hyb.stream, g.hyb.stream):
+            assert spa.e_tile == spb.e_tile and spa.chunks == spb.chunks
             np.testing.assert_array_equal(
                 np.asarray(spa.srcl3), np.asarray(spb.srcl3)
             )
-            if spb.visited is not None:
-                np.testing.assert_array_equal(
-                    np.asarray(spa.visited), np.asarray(spb.visited)
-                )
         assert (g2.hyb.rest is None) == (g.hyb.rest is None)
     assert g2.bat_b.bucket_rows == g.bat_b.bucket_rows
     np.testing.assert_array_equal(
