@@ -68,8 +68,14 @@ __all__ = [
 
 # Measured stream-kernel cost constants (TPU v5e, f32, S=W=256 — round-4
 # probes; see module docstring). FIXED_NS is per tile, MARG_NS per slot.
-FIXED_NS = float(os.environ.get("GEOT_STREAM_FIXED_NS", "950.0"))
-MARG_NS = float(os.environ.get("GEOT_STREAM_MARG_NS", "1.95"))
+# Post-aliasing recalibration (scratch_r4/hybrid_parts2.log, production
+# families at products-clustered): fitting cost/tile = FIXED + E*MARG on
+# the E=256 (0.903 us/tile) and E=4096 (9.125 us/tile) endpoints gives
+# MARG 2.14 ns/slot, FIXED 0.36 us; mid sizes measure above the line
+# (window-sparse families pay an aliased read-modify-write per window
+# run), so FIXED carries a small cushion.
+FIXED_NS = float(os.environ.get("GEOT_STREAM_FIXED_NS", "400.0"))
+MARG_NS = float(os.environ.get("GEOT_STREAM_MARG_NS", "2.1"))
 E_CHOICES = (256, 512, 1024, 2048, 4096)
 
 
