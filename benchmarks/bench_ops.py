@@ -59,7 +59,13 @@ def run(args) -> None:
         # large graphs: fewer timed iters (each call is hundreds of ms and
         # the fenced timer's variance shrinks with call cost)
         iters = args.iters if n_edges < 5_000_000 else min(args.iters, 8)
-        d = synthetic_graph(n_nodes, n_edges, power=1.0, seed=0)
+        if name.startswith("rmat-s"):
+            from geot_tpu.graph.datasets import rmat_graph
+
+            d = rmat_graph(int(name[len("rmat-s"):]))
+            n_nodes, n_edges = d.num_nodes, d.num_edges
+        else:
+            d = synthetic_graph(n_nodes, n_edges, power=1.0, seed=0)
         dst_sorted = np.sort(d.dst)
         rng = np.random.default_rng(0)
         w_host = rng.standard_normal(len(d.src)).astype(np.float32)
@@ -77,9 +83,13 @@ def run(args) -> None:
                 # single feature size, and stacked reddit2-scale graphs
                 # plus run transients exhausted HBM mid-grid
                 graphs.clear()
-                layouts = ("bat",) if n_edges > 20_000_000 else (
-                    "bat", "slot", "stream"
-                )
+                if args.op == "mh_spmm":
+                    # multi-head runs in slot space (plan + plan_t only)
+                    layouts = ("slot",)
+                elif n_edges > 20_000_000:
+                    layouts = ("bat",)
+                else:
+                    layouts = ("bat", "slot", "stream")
                 graphs[key] = cached_build(
                     f"benchop-{name}-h{hint}-{args.op == 'spmm_static'}-"
                     f"{'-'.join(layouts)}",
@@ -220,6 +230,43 @@ def run(args) -> None:
                     ),
                     "args": (a, x),
                 }
+            elif args.op == "mh_spmm":
+                # multi-head SpMM (GAT aggregation op): features = per-head
+                # dim D, heads from --heads; vs the unfused XLA composition
+                # (`x[src] * w` segment-summed), the reference's eager
+                # pattern (`test/test_mh_spmm.py:4-28`)
+                H = args.heads
+                D = n_feat
+                xh = jnp.asarray(
+                    rng.standard_normal((n_nodes, H, D)).astype(np.float32)
+                )
+                wh = jnp.asarray(
+                    rng.standard_normal((g.num_edges, H)).astype(np.float32)
+                )
+
+                def _unfused_mh(s, d2, xh, wh):
+                    v = xh[s] * wh[:, :, None]
+                    return jax.ops.segment_sum(
+                        v, d2, num_segments=n_nodes, indices_are_sorted=True
+                    )
+
+                variants = {
+                    "geot_pallas" if on_accel else "geot_interpret": (
+                        functools.partial(
+                            jax.jit(
+                                lambda gg, xh, wh: ops.mh_spmm(
+                                    gg.src, gg.dst, wh, xh, n_nodes,
+                                    graph=gg, backend="pallas",
+                                )
+                            ),
+                            g,
+                        )
+                    ),
+                    "xla_unfused": functools.partial(
+                        jax.jit(_unfused_mh), g.src, g.dst
+                    ),
+                    "args": (xh, wh),
+                }
             else:  # index_scatter
                 idx = jnp.asarray(dst_sorted)
                 plan = g.bat if g.bat is not None else g.plan
@@ -270,24 +317,38 @@ def run(args) -> None:
                 except Exception as exc:  # keep sweeping
                     print(f"{name} N={n_feat} {vname}: FAILED {exc}")
                     continue
-                sol = (
-                    sddmm_bytes(g.num_edges, n_feat)
-                    if args.op == "sddmm"
-                    else spmm_bytes(g.num_edges, n_feat, n_nodes, n_nodes)
-                )
+                if args.op == "sddmm":
+                    sol = sddmm_bytes(g.num_edges, n_feat)
+                elif args.op == "mh_spmm":
+                    sol = spmm_bytes(
+                        g.num_edges, args.heads * n_feat, n_nodes, n_nodes
+                    ) + 4 * g.num_edges * (args.heads - 1)
+                else:
+                    sol = spmm_bytes(g.num_edges, n_feat, n_nodes, n_nodes)
                 gbps = sol / t / 1e9
                 rows.append(
                     dict(
                         dataset=name,
-                        op=args.op,
+                        op=(
+                            f"mh_spmm_h{args.heads}"
+                            if args.op == "mh_spmm"
+                            else args.op
+                        ),
                         variant=vname,
                         features=n_feat,
                         nnz=g.num_edges,
                         time_ms=round(t * 1e3, 4),
                         effective_gbps=round(gbps, 2),
                         # reference GFLOPS convention (codegen.py:10):
-                        # nnz*N per op call
-                        gflops=round(g.num_edges * n_feat / t / 1e9, 2),
+                        # nnz*N per op call (N = H*D for multi-head)
+                        gflops=round(
+                            g.num_edges
+                            * n_feat
+                            * (args.heads if args.op == "mh_spmm" else 1)
+                            / t
+                            / 1e9,
+                            2,
+                        ),
                     )
                 )
                 print(rows[-1], flush=True)
@@ -308,12 +369,13 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument(
         "--op",
-        choices=["spmm", "spmm_static", "index_scatter", "sddmm"],
+        choices=["spmm", "spmm_static", "index_scatter", "sddmm", "mh_spmm"],
         default="spmm",
     )
     p.add_argument("--datasets", nargs="+", default=DEFAULT_DATASETS)
     p.add_argument("--features", nargs="+", type=int, default=DEFAULT_FEATURES)
     p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--heads", type=int, default=4)
     p.add_argument("--max-edges", type=int, default=0)
     p.add_argument("--out", default="")
     run(p.parse_args())

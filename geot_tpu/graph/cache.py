@@ -38,7 +38,7 @@ _PLAN_TYPES = {
 # slower than pure BAT; v4: per-cell tile-size stream families +
 # aliased-carry execution — coverage tiles and chunk-local windows are
 # gone, so v3 single-plan hyb layouts no longer run.)
-FORMAT_VERSION = 4
+FORMAT_VERSION = 5  # v5: BatPlan.chunk_vblocks (fast-emitter span gathers)
 
 
 def _split_fields(obj):

@@ -449,6 +449,12 @@ class BatPlan:
     km_pack: int = dataclasses.field(default=0, metadata=dict(static=True))
     chunks: tuple = dataclasses.field(default=(), metadata=dict(static=True))
     chunk_blocks: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # max VALUE-BLOCK span of any chunk (host-measured): the scan executor
+    # gathers only this many blocks per chunk instead of tiles+1 — tiles
+    # outnumber value blocks by the window-crossing factor (~1.5x on sparse
+    # residues), and every over-gathered row pays the full per-row cost
+    # (round-5 probes: materialized row gathers are issue-bound)
+    chunk_vblocks: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def num_tiles(self) -> int:
@@ -541,6 +547,7 @@ def build_bat_plan_host(
         km_pack=int(km_pack if km_pack > 1 and e_tile % km_pack == 0 else 0),
         chunks=compute_chunks(ob, max_chunk_tiles),
         chunk_blocks=0,
+        chunk_vblocks=0,
     )
     _uniformize_bat_chunks(arrays, meta)
     return arrays, meta
@@ -575,6 +582,16 @@ def _uniformize_bat_chunks(arrays: dict, meta: dict) -> None:
     arrays["out_block"], arrays["vblock"] = new_ob, new_vb
     meta["chunks"] = tuple(new_chunks)
     meta["chunk_blocks"] = int(W_max)
+    # max real value-block span over chunks (vblock is globally
+    # non-decreasing over real tiles — window-spanning blocks repeat, never
+    # dip — so span = last - first + 1); the scan executor gathers only
+    # this many blocks per chunk (BatPlan.chunk_vblocks)
+    vspan = 1
+    for t0, t1, _, _ in chunks:
+        real = vb[t0:t1][vb[t0:t1] < meta["n_vblocks"]]
+        if len(real):
+            vspan = max(vspan, int(real[-1]) - int(real[0]) + 1)
+    meta["chunk_vblocks"] = int(vspan)
 
 
 def bat_plan_from_host(arrays: dict, meta: dict) -> BatPlan:

@@ -276,7 +276,10 @@ def build_stream_split_host(
     streamed = int(cell_cnt[sel_cells].sum())
     stream_frac = streamed / nnz
     est_stream_ms = float(stream_cost[sel_cells].sum()) / 1e6
-    est_bat_ms = (nnz - streamed) * bat_edge_ns / 1e6
+    # the rest runs at the residue premium (the same rate the per-cell
+    # selection uses) — using plain bat_edge_ns here understated the rest
+    # cost feeding the margin gate (ADVICE r4)
+    est_bat_ms = (nnz - streamed) * rest_edge_ns / 1e6
     stats.update(
         stream_frac=stream_frac,
         n_cells=len(cell_cnt), n_stream_cells=int(sel_cells.sum()),
@@ -426,8 +429,12 @@ def _uniformize_stream_chunks(arrays: dict, meta: dict) -> None:
         for k in new:
             new[k][base : base + nt] = arrays[k][t0:t1]
         # pad tiles join the chunk's last real window: all -1 slots add
-        # nothing, and the aliased flush just rewrites the same value
+        # nothing, and the aliased flush just rewrites the same value.
+        # They also revisit the last real tile's x block so the pad tail
+        # never forces an extra x-block DMA refetch (ADVICE r4).
         new["out_block"][base + nt : base + T_max] = w1 - 1
+        if nt:
+            new["sblock"][base + nt : base + T_max] = arrays["sblock"][t1 - 1]
         new_chunks.append((base, base + T_max, int(w0), int(w1)))
     arrays.update(new)
     meta["chunks"] = tuple(new_chunks)

@@ -32,7 +32,12 @@ from geot_tpu.graph.plan import (
     plan_from_host,
 )
 
-__all__ = ["Graph", "build_graph"]
+__all__ = ["Graph", "build_graph", "LAST_BUILD_STATS"]
+
+# Introspection of the most recent `build_graph` decisions (which mechanism
+# — measured table vs census gate — decided the stream split, etc.). For
+# logging and the dispatch-audit tests; not part of the Graph pytree.
+LAST_BUILD_STATS: dict = {}
 
 
 @jax.tree_util.register_dataclass
@@ -282,11 +287,32 @@ def build_graph(
             build_stream_split_host,
             stream_plan_from_host,
         )
+        from geot_tpu.tuning.heuristics import bucket_key, load_table
+
+        # table-vs-census reconciliation (sweep writes 'spmm_hyb:<bucket>'
+        # verdict keys whenever the hybrid candidate was actually measured
+        # at a swept shape): a measured LOSS vetoes the census gate, a
+        # measured WIN endorses it (census still sizes the split, but the
+        # scale-margin cushion is waived). Unswept shapes: census decides,
+        # as before.
+        verdict = load_table().get(
+            f"spmm_hyb:{bucket_key(feature_hint, len(src), num_nodes)}"
+        )
+        stream_margin = None
+        if verdict is not None and verdict.mode != "hybrid":
+            LAST_BUILD_STATS["stream_decided_by"] = "table_veto"
+        else:
+            if verdict is not None:
+                stream_margin = 1.0
+                LAST_BUILD_STATS["stream_decided_by"] = "table_endorse"
+            else:
+                LAST_BUILD_STATS["stream_decided_by"] = "census"
 
         def _build_hyb(d_sorted, g_idx, w_e):
             families, rest_mask, _st = build_stream_split_host(
                 d_sorted, g_idx, num_nodes, num_nodes,
                 edge_weight=w_e, feature_hint=feature_hint,
+                margin=stream_margin,
             )
             if families is None:
                 return None
@@ -310,7 +336,8 @@ def build_graph(
                 )
             return HybridPlan(sp, rest, rest_src, rest_w)
 
-        hyb = _build_hyb(dst, src, edge_weight)
+        vetoed = verdict is not None and verdict.mode != "hybrid"
+        hyb = None if vetoed else _build_hyb(dst, src, edge_weight)
         if hyb is not None:
             hyb_t = _build_hyb(
                 src_t, dst[perm_t],

@@ -9,6 +9,7 @@ from geot_tpu.ops.api import (
     segment_softmax,
     segment_spmm,
     segment_counts,
+    dispatch_path,
     gat_attention_spmm,
 )
 from geot_tpu.ops import reference
@@ -23,6 +24,7 @@ __all__ = [
     "sddmm_coo",
     "segment_softmax",
     "segment_spmm",
+    "dispatch_path",
     "gat_attention_spmm",
     "segment_counts",
     "reference",

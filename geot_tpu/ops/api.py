@@ -337,6 +337,8 @@ def _bat_sum(
             vbase = cp.vblock[0]
             nblk = t1 - t0 + 1
             size = nblk * E
+            if not packed and size % 1024 == 0:
+                size += 512  # fast-emitter gather size (see _bat_sum_scan)
             # rebase: pad (sentinel) tiles point past the real blocks at a
             # forced -1 block; dst ids shift into the chunk's window-local
             # range (-1 entries shift too but stay below any window base)
@@ -421,7 +423,19 @@ def _bat_sum_scan(
         w1s = jnp.asarray(np.asarray([c[3] for c in bp.chunks], np.int32))
     else:
         C, T_c, W_c, w0s, w1s = chunk_meta
-    nblk = T_c + 1
+    # gather only the chunk's real value-block span when the plan measured
+    # it (chunk_vblocks) — tiles outnumber value blocks by the window-
+    # crossing factor and the per-chunk gather previously covered tiles+1
+    # blocks (~1.5x over-gather on sparse residues, round-5 dissection)
+    nblk = min(bp.chunk_vblocks or (T_c + 1), T_c + 1)
+    # fast-emitter gather size: XLA's materialized row gather runs ~11
+    # ns/row when the index count is divisible by 1024 and ~5 ns/row
+    # otherwise (measured, scratch_r5/rest{6,7,8}.log) — round any
+    # 1024-divisible request up to an odd multiple of 512; the extra rows
+    # land beyond the kernel's addressed blocks and are ignored
+    g_size = nblk * E
+    if g_size % 1024 == 0:
+        g_size += 512
     f_tile = _pick_f_tile(n)
     f_pad = _round_up(max(n, 1), f_tile)
 
@@ -465,7 +479,7 @@ def _bat_sum_scan(
             num_edges=nblk * E,
             n_vblocks=nblk,
         )
-        v = vals_fn(vb0, nblk * E, None)
+        v = vals_fn(vb0, g_size, None)
         if f_pad != v.shape[1]:
             v = jnp.pad(v, ((0, 0), (0, f_pad - v.shape[1])))
         we = None
@@ -793,6 +807,7 @@ def _stream_sum(plans, x: jax.Array) -> jax.Array:
     tile size — round-4 per-cell e_tile assignment) accumulate into one
     carry. Returns [num_segments, n]."""
     fams = tuple(plans) if isinstance(plans, (list, tuple)) else (plans,)
+    assert fams, "_stream_sum: empty stream-family tuple (corrupt HybridPlan?)"
     sp0 = fams[0]
     n = x.shape[1]
     f_tile = _pick_f_tile(n)
@@ -1246,6 +1261,67 @@ def gather_weight_scatter(
     )
 
 
+def dispatch_path(
+    graph: Graph,
+    *,
+    dynamic_w: bool = False,
+    reduce: str = "sum",
+    backend: str = "auto",
+) -> str:
+    """Which implementation `segment_spmm` will run for this (graph, call)
+    — the single source of truth consulted by both execution and the
+    dispatch-audit tests (a mis-route silently falls back to a slower-but-
+    correct path, so tests assert the SELECTION, not just the value).
+
+    Returns one of:
+      'hybrid'      streamed dense cells + BAT remainder (static weights)
+      'bucketed'    sliced-table bucketed BAT (static weights baked)
+      'bat_static'  BAT kernels, static weights in edge order
+      'slot_static' slot-layout kernels, static slot weights
+      'xla_slot'    slot arrays on the XLA scatter path (crossover, static)
+      'bat'         BAT kernels, unweighted
+      'slot'        slot-layout kernels, unweighted
+      'bat_dyn'     BAT kernels, per-call weights
+      'slot_dyn'    slot-layout kernels, per-call weights
+      'xla'         plain XLA reference path
+    """
+    use_p = _use_pallas(backend) and reduce in ("sum", "mean")
+    if use_p and backend == "auto":
+        # latency-floor crossover (graph-build-time table decision): below
+        # the measured floor the XLA reference path wins outright
+        pref = graph.prefer_dyn if dynamic_w else graph.prefer
+        if pref == "xla":
+            use_p = False
+    # measured-table layout preference (Graph.prefer / .prefer_dyn): the
+    # sweep's static/dynamic spmm winners decide BAT vs slot per graph
+    have_slot = graph.plan is not None
+    use_bat = use_p and graph.bat is not None
+    static_w = not dynamic_w and graph.edge_weight is not None
+    in_sum = reduce in ("sum", "mean")
+    if in_sum and not dynamic_w and use_p and getattr(graph, "hyb", None) is not None:
+        return "hybrid"
+    if in_sum and static_w and use_p and graph.bat_b is not None:
+        return "bucketed"
+    if (
+        in_sum
+        and static_w
+        and use_bat
+        and (graph.prefer.startswith("bat") or not have_slot or graph.w_slots is None)
+    ):
+        return "bat_static"
+    if in_sum and not dynamic_w and graph.w_slots is not None:
+        return "slot_static" if use_p else "xla_slot"
+    if not dynamic_w and graph.edge_weight is None:
+        if use_p and graph.bat_b is not None:
+            return "bucketed"
+        if use_bat and (graph.prefer.startswith("bat") or not have_slot):
+            return "bat"
+        return "slot" if use_p else "xla"
+    if use_bat and (graph.prefer_dyn.startswith("bat") or not have_slot):
+        return "bat_dyn"
+    return "slot_dyn" if use_p else "xla"
+
+
 def segment_spmm(
     graph: Graph,
     x: jax.Array,
@@ -1259,87 +1335,55 @@ def segment_spmm(
     `models/conv/spmm.py:5-14`)."""
     w = edge_weight if edge_weight is not None else graph.edge_weight
     use_p = _use_pallas(backend) and reduce in ("sum", "mean")
-    if use_p and backend == "auto":
-        # latency-floor crossover (graph-build-time table decision): below
-        # the measured floor the XLA reference path wins outright
-        pref = graph.prefer_dyn if edge_weight is not None else graph.prefer
-        if pref == "xla":
-            use_p = False
-    # measured-table layout preference (Graph.prefer / .prefer_dyn): the
-    # sweep's static/dynamic spmm winners decide BAT vs slot per graph
-    have_slot = graph.plan is not None
-    use_bat = use_p and graph.bat is not None
-    bat_static = use_bat and (
-        graph.prefer.startswith("bat")
-        or not have_slot
-        or graph.w_slots is None
+    path = dispatch_path(
+        graph, dynamic_w=edge_weight is not None, reduce=reduce,
+        backend=backend,
     )
-    bat_dyn = use_bat and (graph.prefer_dyn.startswith("bat") or not have_slot)
-    if (
-        reduce in ("sum", "mean")
-        and edge_weight is None
-        and use_p
-        and getattr(graph, "hyb", None) is not None
-    ):
+    if path == "hybrid":
         # community-structured graphs: gather-free streamed cells + BAT
         # remainder (weights baked at build; covers weighted and unweighted)
         out = _make_spmm_hybrid()(x, graph.hyb, graph.hyb_t)
-    elif (
-        reduce in ("sum", "mean")
-        and edge_weight is None
-        and graph.edge_weight is not None
-        and use_p
-        and graph.bat_b is not None
-    ):
+    elif path == "bucketed":
         # big-table static path: bucketed BAT (sliced-table gather)
         out = _make_spmm_bucketed()(x, graph.bat_b, graph.bat_b_t)
-    elif (
-        reduce in ("sum", "mean")
-        and edge_weight is None
-        and graph.edge_weight is not None
-        and bat_static
-    ):
+    elif path == "bat_static":
         # static weights: edge order IS the kernel's input order under BAT,
         # with a precomputed transpose-order copy for backward
         out = _make_gws_bat(True, True)(
             x, graph.edge_weight, graph.src, graph.dst, graph.dst_t,
             graph.edge_weight_t, graph.bat, graph.bat_t,
         )
-    elif reduce in ("sum", "mean") and edge_weight is None and graph.w_slots is not None:
+    elif path in ("slot_static", "xla_slot"):
         # static-weight fast path: slot weights cached at graph build
-        out = _make_gws_static(use_p)(
+        out = _make_gws_static(path == "slot_static")(
             x, graph.plan, graph.plan_t, graph.w_slots, graph.w_slots_t
         )
+    elif path == "bat":
+        out = _make_gs_bat(True)(
+            x, graph.src, graph.dst, graph.dst_t, graph.bat, graph.bat_t
+        )
+    elif path == "slot":
+        out = _make_gs(True)(
+            x, graph.src, graph.dst, graph.plan, graph.plan_t, graph.perm_t
+        )
+    elif path == "bat_dyn":
+        out = _make_gws_bat(True, False)(
+            x, w, graph.src, graph.dst, graph.dst_t, graph.perm_t,
+            graph.bat, graph.bat_t,
+        )
+    elif path == "slot_dyn":
+        out = _make_gws(True)(
+            x, w, graph.src, graph.dst, graph.plan, graph.plan_t,
+            graph.edge_pos_t,
+        )
     elif w is None:
-        if use_p and graph.bat_b is not None:
-            out = _make_spmm_bucketed()(x, graph.bat_b, graph.bat_b_t)
-        elif use_bat and (graph.prefer.startswith("bat") or not have_slot):
-            out = _make_gs_bat(True)(
-                x, graph.src, graph.dst, graph.dst_t, graph.bat, graph.bat_t
-            )
-        elif use_p:
-            out = _make_gs(True)(
-                x, graph.src, graph.dst, graph.plan, graph.plan_t, graph.perm_t
-            )
-        else:
-            out = ref.gather_scatter_ref(
-                graph.src, graph.dst, x, graph.num_nodes, "sum"
-            )
+        out = ref.gather_scatter_ref(
+            graph.src, graph.dst, x, graph.num_nodes, "sum"
+        )
     else:
-        if bat_dyn:
-            out = _make_gws_bat(True, False)(
-                x, w, graph.src, graph.dst, graph.dst_t, graph.perm_t,
-                graph.bat, graph.bat_t,
-            )
-        elif use_p:
-            out = _make_gws(True)(
-                x, w, graph.src, graph.dst, graph.plan, graph.plan_t,
-                graph.edge_pos_t,
-            )
-        else:
-            out = ref.gather_weight_scatter_ref(
-                graph.src, graph.dst, w, x, graph.num_nodes, "sum"
-            )
+        out = ref.gather_weight_scatter_ref(
+            graph.src, graph.dst, w, x, graph.num_nodes, "sum"
+        )
     if reduce == "sum":
         return out
     if reduce == "mean":

@@ -222,7 +222,10 @@ def part_bat_reduce(
     )
     E = fam.e_tile
     nblk = fam.T_c + 1
-    src_pad = jnp.pad(fam.src, (0, nblk * E))
+    # +512: the scan executor may request a fast-emitter gather size (an
+    # odd multiple of 512 — see api._bat_sum_scan); the slice must never
+    # clamp its start on the last chunk
+    src_pad = jnp.pad(fam.src, (0, nblk * E + 512))
 
     def vals_fn(vb0, size, _token):
         idx = jax.lax.dynamic_slice_in_dim(src_pad, vb0 * E, size)

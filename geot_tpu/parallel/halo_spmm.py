@@ -116,6 +116,16 @@ def _local_reduce(plan: SegmentPlan, xr: jax.Array, w_slots: jax.Array, use_pall
     return _plan_sum_one(plan, vals, ws, _pick_mode(xr.shape[1], plan))
 
 
+def _stream_reduce(fam, x_local: jax.Array, use_pallas: bool) -> jax.Array:
+    """Streamed interior reduce for one part (hybrid layout). The kernel
+    interprets off-TPU, so the same (deterministic) logic serves both the
+    Pallas and reference backends."""
+    del use_pallas
+    from geot_tpu.parallel.stream_partition import part_stream_reduce
+
+    return part_stream_reduce(fam, x_local)
+
+
 def _use_pallas(backend: str) -> bool:
     if backend == "pallas":
         return True
@@ -168,6 +178,12 @@ def halo_spmm(
             out_i = part_bat_reduce(
                 pg_local.bat_int.unbatch(), x_local, use_pallas
             )
+            if pg_local.stream_int is not None:
+                # hybrid layout: interior dense cells stream gather-free
+                # from the local shard (`parallel.stream_partition`)
+                out_i = out_i + _stream_reduce(
+                    pg_local.stream_int.unbatch(), x_local, use_pallas
+                )
             out_b = part_bat_reduce(pg_local.bat.unbatch(), recv, use_pallas)
             return out_i + out_b
         plan_b = _unbatch_plan(pg_local.plan)
@@ -205,6 +221,10 @@ def halo_spmm(
             g_int = part_bat_reduce(
                 pg_local.bat_int_t.unbatch(), g_local, use_pallas
             )
+            if pg_local.stream_int_t is not None:
+                g_int = g_int + _stream_reduce(
+                    pg_local.stream_int_t.unbatch(), g_local, use_pallas
+                )
         else:
             plan_it = _unbatch_plan(pg_local.plan_int_t)
             g_int = _local_reduce(

@@ -25,7 +25,13 @@ import json
 import os
 from typing import Optional
 
-__all__ = ["KernelConfig", "select_config", "load_table", "TABLE_ENV"]
+__all__ = [
+    "KernelConfig",
+    "select_config",
+    "select_config_ex",
+    "load_table",
+    "TABLE_ENV",
+]
 
 TABLE_ENV = "GEOT_TPU_TUNING_TABLE"
 
@@ -110,6 +116,51 @@ def _nearest_key(table: dict, op: str, kb: str) -> Optional["KernelConfig"]:
     return best[1] if best is not None else None
 
 
+def select_config_ex(
+    n_features: int,
+    nnz: int,
+    num_segments: int,
+    *,
+    op: str = "spmm",
+    dtype_bytes: int = 4,
+) -> tuple:
+    """`select_config` plus provenance: returns (config, source) with source
+    in {'table' (exact measured key), 'floor' (latency-floor rule), 'near'
+    (nearest-bucket interpolation), 'heuristic' (analytic fallback)}.
+    Callers that reconcile the measured table against other selection
+    mechanisms (the stream census gate) need to know whether the pick is a
+    measurement or a guess."""
+    avg = nnz / max(num_segments, 1)
+    table = load_table()
+    kb = bucket_key(n_features, nnz, num_segments) if table else ""
+    if table and f"{op}:{kb}" in table:
+        return table[f"{op}:{kb}"], "table"
+
+    if nnz < 12_000:
+        # latency floor: tiny grids lose to XLA's fused scatter (measured,
+        # round-2 op grid: cora/citeseer) — route auto dispatch to the
+        # reference backend. Checked BEFORE nearest-bucket interpolation:
+        # extrapolating a large-graph winner down to a tiny shape is the
+        # one regime where the nearest measured bucket is reliably wrong.
+        return KernelConfig(mode="xla"), "floor"
+
+    if table:
+        near = _nearest_key(table, op, kb)
+        if near is not None:
+            return near, "near"
+    if n_features <= 64:
+        # packed BAT: 128//n lanes per edge row; measured best for narrow
+        # features (bat/packed sweeps, round 2)
+        return KernelConfig(mode="bat_packed", e_tile=512, s_tile=256), "heuristic"
+    # wide features: BAT with big edge blocks; narrow output windows only
+    # when segments are sparse (window-coverage tiles stay cheap)
+    s_tile = 256 if avg >= 8 else 128
+    return (
+        KernelConfig(mode="bat", e_tile=1024, s_tile=s_tile, f_tile=128),
+        "heuristic",
+    )
+
+
 def select_config(
     n_features: int,
     nnz: int,
@@ -130,29 +181,6 @@ def select_config(
     recommended: the PR layout measured ~4x slower on TPU than packed-SR
     (round-1 RESULTS) and `_pick_mode` treats it as opt-in only.
     """
-    avg = nnz / max(num_segments, 1)
-    table = load_table()
-    kb = bucket_key(n_features, nnz, num_segments) if table else ""
-    if table and f"{op}:{kb}" in table:
-        return table[f"{op}:{kb}"]
-
-    if nnz < 12_000:
-        # latency floor: tiny grids lose to XLA's fused scatter (measured,
-        # round-2 op grid: cora/citeseer) — route auto dispatch to the
-        # reference backend. Checked BEFORE nearest-bucket interpolation:
-        # extrapolating a large-graph winner down to a tiny shape is the
-        # one regime where the nearest measured bucket is reliably wrong.
-        return KernelConfig(mode="xla")
-
-    if table:
-        near = _nearest_key(table, op, kb)
-        if near is not None:
-            return near
-    if n_features <= 64:
-        # packed BAT: 128//n lanes per edge row; measured best for narrow
-        # features (bat/packed sweeps, round 2)
-        return KernelConfig(mode="bat_packed", e_tile=512, s_tile=256)
-    # wide features: BAT with big edge blocks; narrow output windows only
-    # when segments are sparse (window-coverage tiles stay cheap)
-    s_tile = 256 if avg >= 8 else 128
-    return KernelConfig(mode="bat", e_tile=1024, s_tile=s_tile, f_tile=128)
+    return select_config_ex(
+        n_features, nnz, num_segments, op=op, dtype_bytes=dtype_bytes
+    )[0]

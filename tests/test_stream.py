@@ -124,6 +124,49 @@ def test_segment_spmm_dispatches_hybrid_and_grads():
     np.testing.assert_allclose(grad, grad_ref, rtol=2e-4, atol=2e-4)
 
 
+def test_stream_bf16_fast_path():
+    """bf16 features ride the 2-pass kernel variant (select output exact in
+    bf16, weights folded into the dst one-hot) with an f32 carry; accuracy
+    within the bf16 error budget (VERDICT r4 Next #2; reference supports
+    reduced precision via f32 accumulation, csrc/cpu/index_scatter_cpu.cpp)."""
+    n = 1500
+    src, dst = _clustered_edges(n, 30_000, 3_000)
+    rng = np.random.default_rng(11)
+    w = rng.standard_normal(len(src)).astype(np.float32)
+    families, rest_mask, stats = build_stream_split_host(
+        dst, src, n, n, edge_weight=w, min_stream_frac=0.05
+    )
+    assert families is not None, stats
+    sps = tuple(stream_plan_from_host(a, m) for a, m in families)
+    x = rng.standard_normal((n, 96)).astype(np.float32)
+    out = _stream_sum(sps, jnp.asarray(x).astype(jnp.bfloat16))
+    assert out.dtype == jnp.bfloat16
+    sm = ~rest_mask
+    ref = _ref(src[sm], dst[sm], x, n, w[sm])
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), rtol=0.05, atol=0.05
+    )
+
+
+def test_hybrid_bf16_end_to_end():
+    n = 1200
+    src, dst = _clustered_edges(n, 20_000, 2_000, seed=6)
+    rng = np.random.default_rng(7)
+    w = (rng.standard_normal(len(src)) ** 2 + 0.1).astype(np.float32)
+    g = build_graph(src, dst, n, edge_weight=w, feature_hint=96)
+    assert g.hyb is not None
+    x = rng.standard_normal((n, 96)).astype(np.float32)
+    out = segment_spmm(g, jnp.asarray(x).astype(jnp.bfloat16), backend="pallas")
+    assert out.dtype == jnp.bfloat16
+    ref = _ref(np.asarray(g.src), np.asarray(g.dst), x, n,
+               w=np.asarray(g.edge_weight))
+    # bf16 error budget: ~2^-8 relative per term; absolute floor covers
+    # cancellation on near-zero sums
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), rtol=0.05, atol=0.2
+    )
+
+
 def test_uniform_graph_skips_stream():
     # n large enough that uniform edges spread thin over the cell grid
     # (mean ~1.2 edges/cell << tau); at small n even uniform graphs have
