@@ -102,13 +102,26 @@ t = timeit(fn, g, x, warmup=3, iters=iters)
 sol = spmm_bytes(g.num_edges, n_feat, n_nodes, n_nodes,
                  weighted=True, fused_gather=True)
 bw = hbm_bandwidth_gbps() * 1e9 if on_tpu else 50e9  # CPU placeholder
-print("RESULT=" + json.dumps({
+# bf16 features alongside (round-5: the stream kernel's 2-pass bf16 fast
+# path): roofline fraction against the bf16 bytes model
+res = {
     "backend": backend,
     "device": str(jax.devices()[0].device_kind),
     "frac": (sol / t) / bw,
     "time_ms": round(t * 1e3, 4),
     "edges_per_s": round(g.num_edges / t, 1),
-}))
+}
+if on_tpu:
+    try:
+        tb = timeit(fn, g, x.astype(jnp.bfloat16), warmup=3, iters=iters)
+        sol_b = spmm_bytes(g.num_edges, n_feat, n_nodes, n_nodes,
+                           dtype_bytes=2, weighted=True, fused_gather=True)
+        res["bf16_time_ms"] = round(tb * 1e3, 4)
+        res["bf16_frac"] = (sol_b / tb) / bw
+        res["bf16_edges_per_s"] = round(g.num_edges / tb, 1)
+    except Exception as e:  # bf16 is an extra, never the capture
+        res["bf16_error"] = str(e)[:200]
+print("RESULT=" + json.dumps(res))
 """
 
 
@@ -189,6 +202,12 @@ def main() -> int:
             "time_ms": r["time_ms"],
             "edges_per_s": r["edges_per_s"],
         }
+        if "bf16_frac" in r:
+            extra[ds]["bf16"] = {
+                "roofline_fraction": round(r["bf16_frac"], 4),
+                "time_ms": r["bf16_time_ms"],
+                "edges_per_s": r["bf16_edges_per_s"],
+            }
 
     head = datasets[0]
     if head not in results and results:

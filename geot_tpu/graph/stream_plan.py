@@ -66,17 +66,27 @@ __all__ = [
     "MARG_NS",
 ]
 
-# Measured stream-kernel cost constants (TPU v5e, f32, S=W=256 — round-4
-# probes; see module docstring). FIXED_NS is per tile, MARG_NS per slot.
-# Post-aliasing recalibration (scratch_r4/hybrid_parts2.log, production
-# families at products-clustered): fitting cost/tile = FIXED + E*MARG on
-# the E=256 (0.903 us/tile) and E=4096 (9.125 us/tile) endpoints gives
-# MARG 2.14 ns/slot, FIXED 0.36 us; mid sizes measure above the line
-# (window-sparse families pay an aliased read-modify-write per window
-# run), so FIXED carries a small cushion.
-FIXED_NS = float(os.environ.get("GEOT_STREAM_FIXED_NS", "400.0"))
+# Measured stream-kernel PER-TILE costs (TPU v5e, f32, S=W=256).
+# Production families at products-clustered (r4 hybrid_parts2 + r5
+# synthetic probes, scratch_r5/rest4b.log): the cost is NOT affine in E —
+# window-sparse families pay an aliased carry read-modify-write per window
+# run and big tiles amortize grid overhead differently — so the model is
+# a measured lookup per tile size, not FIXED + E*MARG. Values are
+# production-biased (products-scale tables); at small tables tiles run
+# slightly cheaper, which only under-selects streaming in the
+# margin-gated small-graph regime.
+TILE_NS = {256: 950.0, 512: 1500.0, 1024: 3400.0, 2048: 6400.0, 4096: 9100.0}
+# Affine fallback for tile sizes outside the measured table.
+FIXED_NS = float(os.environ.get("GEOT_STREAM_FIXED_NS", "650.0"))
 MARG_NS = float(os.environ.get("GEOT_STREAM_MARG_NS", "2.1"))
 E_CHOICES = (256, 512, 1024, 2048, 4096)
+
+
+def _tile_ns(E: int) -> float:
+    env = os.environ.get(f"GEOT_STREAM_TILE_NS_{E}")
+    if env:
+        return float(env)
+    return TILE_NS.get(E, FIXED_NS + E * MARG_NS)
 
 
 def _cdiv(a, b):
@@ -178,11 +188,11 @@ def cell_census(
 
 def _cell_stream_cost(cnt: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Per-cell streamed cost (ns) and the cost-optimal e_tile: the best
-    over E_CHOICES of ceil(cnt/E) * (FIXED_NS + E * MARG_NS)."""
+    over E_CHOICES of ceil(cnt/E) * tile_ns(E) (measured per-E costs)."""
     best_cost = np.full(len(cnt), np.inf, np.float64)
     best_e = np.zeros(len(cnt), np.int32)
     for E in E_CHOICES:
-        cost = _cdiv(cnt, E).astype(np.float64) * (FIXED_NS + E * MARG_NS)
+        cost = _cdiv(cnt, E).astype(np.float64) * _tile_ns(E)
         sel = cost < best_cost
         best_cost[sel] = cost[sel]
         best_e[sel] = E
@@ -245,8 +255,11 @@ def build_stream_split_host(
         # Reported in stats only — the cost model is calibrated on
         # end-to-end points, not on this component.
         gather_ns = float(np.interp(table_bytes, [128e6, 1.25e9], [3.5, 12.0]))
+    # post gather-fix (round-5: span-sized fast-emitter gathers) measured
+    # end-to-end points: arxiv N=128 ~4.5 ns/edge (87 MB table), products
+    # residue 7.83 ns/edge / whole-graph ~8.5 (1.25 GB table)
     bat_edge_ns = float(
-        np.interp(table_bytes, [87e6, 1.25e9], [4.5, 14.0])
+        np.interp(table_bytes, [87e6, 1.25e9], [4.5, 8.5])
     )
 
     w = dst // s_tile
@@ -262,16 +275,15 @@ def build_stream_split_host(
 
     if e_tile:
         tiles = _cdiv(cell_cnt, e_tile)
-        stream_cost = tiles.astype(np.float64) * (FIXED_NS + e_tile * MARG_NS)
+        stream_cost = tiles.astype(np.float64) * _tile_ns(e_tile)
         cell_e = np.full(len(cell_cnt), e_tile, np.int32)
     else:
         stream_cost, cell_e = _cell_stream_cost(cell_cnt)
-    # the REST path runs on the residue, which is sparser per dst window
-    # than the whole graph the bat_edge_ns points were calibrated on —
-    # measured premium 17.26/14.0 ns/edge at products-clustered
-    # (scratch_r4/hybrid_parts.log), so cells compare against the residue
-    # cost, not the whole-graph cost
-    rest_edge_ns = bat_edge_ns * 1.2
+    # the REST path rate, measured directly on the products-clustered
+    # residue post gather-fix (scratch_r5/rest9.log: 146 ms / 18.66M =
+    # 7.83 ns/edge); small tables from the arxiv-scale BAT point +20%
+    # residue sparsity premium
+    rest_edge_ns = float(np.interp(table_bytes, [87e6, 1.25e9], [5.4, 7.9]))
     sel_cells = stream_cost < cell_cnt * rest_edge_ns
     streamed = int(cell_cnt[sel_cells].sum())
     stream_frac = streamed / nnz

@@ -45,7 +45,9 @@ from geot_tpu.tuning.heuristics import KernelConfig, bucket_key, select_config
 OPS = ("spmm", "spmm_dyn", "index_scatter")
 
 
-def config_space(op: str, n_features: int) -> List[KernelConfig]:
+def config_space(
+    op: str, n_features: int, fast: bool = False
+) -> List[KernelConfig]:
     """Candidate tile configs for one op family at one feature size.
 
     BAT (block-aligned tiles, v3 kernels) is the production layout; the
@@ -56,19 +58,36 @@ def config_space(op: str, n_features: int) -> List[KernelConfig]:
     (`benchmark/benchmark_cpp/include/codegen.py:25-78`) scaled to TPU
     tiles.
     """
-    space = [
-        KernelConfig("bat", e, s, 128)
-        for e, s in itertools.product((512, 1024), (128, 256))
-    ]
-    if n_features <= 64:
-        space += [
-            KernelConfig("bat_packed", e, s, 128)
-            for e, s in itertools.product((256, 512, 1024), (128, 256))
+    if fast:
+        # trimmed space for wall-clock-bounded re-sweeps: the historically
+        # winning configs + one representative per family + xla/hybrid.
+        # (Graph build + compile dominate per-config cost, so the sweep
+        # scales with |space|, not iters.)
+        space = [
+            KernelConfig("bat", 1024, 256, 128),
+            KernelConfig("bat", 512, 256, 128),
+            KernelConfig("bat", 1024, 128, 128),
         ]
-    space += [
-        KernelConfig("sr", e, s, 128)
-        for e, s in itertools.product((256, 512), (128, 256))
-    ]
+        if n_features <= 64:
+            space += [
+                KernelConfig("bat_packed", 512, 256, 128),
+                KernelConfig("bat_packed", 256, 256, 128),
+            ]
+        space += [KernelConfig("sr", 512, 256, 128)]
+    else:
+        space = [
+            KernelConfig("bat", e, s, 128)
+            for e, s in itertools.product((512, 1024), (128, 256))
+        ]
+        if n_features <= 64:
+            space += [
+                KernelConfig("bat_packed", e, s, 128)
+                for e, s in itertools.product((256, 512, 1024), (128, 256))
+            ]
+        space += [
+            KernelConfig("sr", e, s, 128)
+            for e, s in itertools.product((256, 512), (128, 256))
+        ]
     # the plain XLA path is a first-class candidate: the rule table must be
     # able to record the NON-custom implementation where it wins (the
     # latency floor at cora/citeseer scale — round-3 grid showed measured
@@ -280,6 +299,7 @@ def sweep_graph(
     iters: int = 30,
     verbose: bool = True,
     out_path: Optional[str] = None,
+    fast: bool = False,
 ) -> Tuple[Dict[str, Tuple[KernelConfig, float]], List[SweepRow]]:
     """Best config per (op, bucket) for one graph + every measured row.
     Returns ({table_key: (config, seconds)}, rows)."""
@@ -289,7 +309,7 @@ def sweep_graph(
     for op in ops:
         for n_feat in features:
             kb = f"{op}:{bucket_key(n_feat, nnz, n_nodes)}"
-            for cfg in config_space(op, n_feat):
+            for cfg in config_space(op, n_feat, fast=fast):
                 t = measure_config(
                     cfg, src, dst, n_nodes, n_feat, op=op, iters=iters
                 )
@@ -410,6 +430,10 @@ def main() -> None:
     p.add_argument("--ops", nargs="+", default=list(OPS))
     p.add_argument("--iters", type=int, default=30)
     p.add_argument(
+        "--fast", action="store_true",
+        help="trimmed config space (historical winners + xla/hybrid)",
+    )
+    p.add_argument(
         "--augment",
         action="store_true",
         help="also sweep index augmentations (index_scatter family) — the "
@@ -424,12 +448,26 @@ def main() -> None:
     merged: Dict[str, Tuple[KernelConfig, float]] = {}
     all_rows: List[SweepRow] = []
     for name in args.datasets:
-        n, e, _, _ = DATASET_SHAPES[name]
-        d = synthetic_graph(n, e, power=1.0, seed=0)
-        print(f"== {name}: {n} nodes, {e} edges", flush=True)
+        if name.startswith("rmat-s"):
+            from geot_tpu.graph.datasets import rmat_graph
+
+            d = rmat_graph(int(name[len("rmat-s"):]))
+            n = d.num_nodes
+        elif name.endswith("-clustered"):
+            from geot_tpu.graph.datasets import synthetic_clustered_graph
+
+            n, e, _, _ = DATASET_SHAPES[name.removesuffix("-clustered")]
+            d = synthetic_clustered_graph(
+                n, e, mixing=0.3, mean_community=2000, power=1.0, seed=0
+            )
+        else:
+            n, e, _, _ = DATASET_SHAPES[name]
+            d = synthetic_graph(n, e, power=1.0, seed=0)
+        print(f"== {name}: {n} nodes, {d.num_edges} edges", flush=True)
         res, rows = sweep_graph(
             name, d.src, d.dst, n, args.features,
             ops=tuple(args.ops), iters=args.iters, out_path=args.out,
+            fast=args.fast,
         )
         all_rows += rows
         for k, v in res.items():
