@@ -207,29 +207,71 @@ def run(args) -> None:
             elif args.op == "sddmm":
                 # SDDMM under the reference's convention
                 # (`test/test_sddmm.py:30-47`): per-edge dot of gathered
-                # a[dst[e]]·b[src[e]] — measured as XLA's fused
-                # gather+mul+rowsum (geot's production path) vs a
-                # barrier-split unfused version (gathers materialized)
+                # a[dst[e]]·b[src[e]] — the Pallas BAT kernel (dst rows
+                # streamed as window blocks, round-5) vs XLA's fused
+                # gather+mul+rowsum vs a barrier-split unfused version.
+                # Past ~4M edges the XLA paths run edge-chunked (the
+                # materialized [nnz, N] transient OOMs reddit2 whole).
                 a = jnp.asarray(
                     rng.standard_normal((n_nodes, n_feat)).astype(np.float32)
                 )
+                CH = 1 << 22
+
+                def _chunked(body, s, d2, a, b):
+                    nnz_ = s.shape[0]
+                    n_c = -(-nnz_ // CH)
+                    sp = jnp.pad(s, (0, n_c * CH - nnz_))
+                    dp = jnp.pad(d2, (0, n_c * CH - nnz_))
+
+                    def step(carry, c):
+                        ss = jax.lax.dynamic_slice_in_dim(sp, c * CH, CH)
+                        dd = jax.lax.dynamic_slice_in_dim(dp, c * CH, CH)
+                        carry = jax.lax.dynamic_update_slice(
+                            carry, body(ss, dd, a, b), (c * CH,)
+                        )
+                        return carry, None
+
+                    out, _ = jax.lax.scan(
+                        step, jnp.zeros(n_c * CH, jnp.float32),
+                        jnp.arange(n_c, dtype=jnp.int32),
+                    )
+                    return out[:nnz_]
+
+                def _fused(s, d2, a, b):
+                    return ops.sddmm_coo(s, d2, a, b)
 
                 def _unfused(s, d2, a, b):
                     ga, gb = jax.lax.optimization_barrier((a[d2], b[s]))
                     return jnp.sum(ga * gb, axis=-1)
 
+                big = g.num_edges > 4_000_000
                 variants = {
-                    "geot_xla_fused": functools.partial(
+                    "xla_fused": functools.partial(
                         jax.jit(
-                            lambda s, d2, a, b: ops.sddmm_coo(s, d2, a, b)
+                            (lambda s, d2, a, b: _chunked(_fused, s, d2, a, b))
+                            if big else _fused
                         ),
                         g.src, g.dst,
                     ),
                     "xla_unfused": functools.partial(
-                        jax.jit(_unfused), g.src, g.dst
+                        jax.jit(
+                            (lambda s, d2, a, b: _chunked(_unfused, s, d2, a, b))
+                            if big else _unfused
+                        ),
+                        g.src, g.dst,
                     ),
                     "args": (a, x),
                 }
+                if not big and on_accel:
+                    variants["geot_pallas"] = functools.partial(
+                        jax.jit(
+                            lambda gg, a, b: ops.sddmm_coo(
+                                gg.src, gg.dst, a, b, graph=gg,
+                                backend="pallas",
+                            )
+                        ),
+                        g,
+                    )
             elif args.op == "mh_spmm":
                 # multi-head SpMM (GAT aggregation op): features = per-head
                 # dim D, heads from --heads; vs the unfused XLA composition

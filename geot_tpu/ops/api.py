@@ -29,6 +29,7 @@ Autograd mirrors the reference registrations (`torch.library.register_autograd`)
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -231,6 +232,28 @@ def _gated(x: jax.Array, token) -> jax.Array:
     if token is None:
         return x
     return jax.lax.optimization_barrier((x, token))[0]
+
+
+def _fast_gather_fn(x: jax.Array, srcs: jax.Array, n: int):
+    """Slot-row gather function for `_plan_sum_gather` that avoids the XLA
+    gather emitter's slow sizes: a materialized row gather runs ~11 ns/row
+    when the index count is divisible by 1024 and ~5 ns/row otherwise
+    (measured, scratch_r5/rest{6,7,8}.log), so 1024-divisible requests are
+    rounded up to an odd multiple of 512 — the wide-SR kernel ignores the
+    extra tail rows. Packed (narrow-feature) kernels reshape rows and keep
+    exact sizes."""
+    srcs_flat = srcs.reshape(-1)
+    if _packed_width(n) != 0:
+        return lambda lo, hi, tok: _gated(x, tok)[srcs_flat[lo:hi]]
+    srcs_pad = jnp.pad(srcs_flat, (0, 512))
+
+    def g(lo, hi, tok):
+        size = hi - lo
+        if size % 1024 == 0:
+            size += 512
+        return _gated(x, tok)[srcs_pad[lo : lo + size]]
+
+    return g
 
 
 def _plan_sum(plan: SegmentPlan, vals_slots: jax.Array, w_slots: jax.Array):
@@ -633,10 +656,9 @@ def _slot_spmm(plan: SegmentPlan, x: jax.Array, w_slots: jax.Array, use_pallas):
     engine once weights are already in slot order (cached on the Graph,
     avoiding the per-call nnz scalar gather)."""
     if use_pallas:
-        srcs = plan.src_slots.reshape(-1)
         return _plan_sum_gather(
             plan,
-            lambda lo, hi, tok: _gated(x, tok)[srcs[lo:hi]],
+            _fast_gather_fn(x, plan.src_slots, x.shape[1]),
             w_slots,
             x.shape[1],
         )
@@ -717,10 +739,9 @@ def _spmm_fwd(plan, x, w_edge, src, dst, use_pallas, w_idx=None):
             return out[: cp.num_segments, :n]
 
         return _plan_sum_chunked(plan, run_one)
-    srcs = plan.src_slots.reshape(-1)
     return _plan_sum_gather(
         plan,
-        lambda lo, hi, tok: _gated(x, tok)[srcs[lo:hi]],
+        _fast_gather_fn(x, plan.src_slots, n),
         _w_slots(plan, w_edge, w_idx),
         n,
     )
@@ -891,11 +912,11 @@ def _make_gws_bat(use_pallas: bool, static_w: bool):
 
     def fwd(x, w, src, dst, dst_t, w_t_or_perm, bat, bat_t):
         return gws(x, w, src, dst, dst_t, w_t_or_perm, bat, bat_t), (
-            x, w, src, dst, dst_t, w_t_or_perm, bat_t,
+            x, w, src, dst, dst_t, w_t_or_perm, bat, bat_t,
         )
 
     def bwd(res, g):
-        x, w, src, dst, dst_t, w_t_or_perm, bat_t = res
+        x, w, src, dst, dst_t, w_t_or_perm, bat, bat_t = res
         w_t = w_t_or_perm if static_w else w[w_t_or_perm]
         if use_pallas:
             dx = _spmm_fwd_bat(bat_t, g, dst_t, w_t)
@@ -903,8 +924,18 @@ def _make_gws_bat(use_pallas: bool, static_w: bool):
             dx = ref.gather_weight_scatter_ref(dst, src, w, g, bat_t.num_segments)
         if static_w:
             return (dx, None, None, None, None, None, None, None)
-        dw = ref.sddmm_coo_ref(src, dst, g, x).astype(w.dtype)
-        return (dx, dw, None, None, None, None, None, None)
+        # weight gradient dw[e] = <g[dst[e]], x[src[e]]>: the BAT SDDMM
+        # kernel streams the dst-side (cotangent) rows as window blocks —
+        # no gather on that side (reference: geot/gather_weight_scatter.py:47
+        # always re-gathers both sides)
+        if use_pallas and x.shape[1] >= 8 and (
+            src.shape[0] * max(x.shape[1], 128) * 4
+            <= int(os.environ.get("GEOT_SDDMM_MAX_BYTES", 4 << 30))
+        ):
+            dw = _sddmm_bat_fwd(bat, g, x, src)
+        else:
+            dw = ref.sddmm_coo_ref(src, dst, g, x)
+        return (dx, dw.astype(w.dtype), None, None, None, None, None, None)
 
     gws.defvjp(fwd, bwd)
     return gws
@@ -1614,13 +1645,58 @@ def segment_softmax(
     return e / jnp.maximum(s, 1e-16)[index]
 
 
+def _sddmm_bat_fwd(bp, a: jax.Array, b: jax.Array, src: jax.Array) -> jax.Array:
+    """Per-edge dots via the BAT SDDMM kernel: the a-side (dst) rows
+    stream as output-window blocks selected on the MXU (no gather); only
+    the b-side keeps a (fast-size) row gather. Returns [nnz] f32-accurate
+    dots in edge order."""
+    from geot_tpu.ops.pallas_segment import sddmm_bat
+
+    n = a.shape[1]
+    f_tile = _pick_f_tile(n)
+    f_pad = _round_up(max(n, 1), f_tile)
+    # a rows pad to the plan's window blocks + chunk-margin windows (pad
+    # tiles from chunk uniformization may point past n_blocks)
+    margin = bp.chunk_blocks if bp.chunks else 0
+    rows_a = (bp.n_blocks + margin) * bp.s_tile
+    a_p = jnp.pad(a, ((0, rows_a - a.shape[0]), (0, f_pad - n)))
+    g_size = bp.n_vblocks * bp.e_tile
+    if g_size % 1024 == 0:
+        g_size += 512  # fast-emitter gather size (see _bat_sum_scan)
+    idx = jnp.pad(src, (0, g_size - src.shape[0]))
+    b_vals = b[idx]
+    if f_pad != n:
+        b_vals = jnp.pad(b_vals, ((0, 0), (0, f_pad - n)))
+    out = sddmm_bat(bp, a_p, b_vals, f_tile=f_tile)
+    return out[: src.shape[0]]
+
+
 def sddmm_coo(
     src_index: jax.Array,
     dst_index: jax.Array,
     a: jax.Array,
     b: jax.Array,
+    *,
+    graph: Optional[Graph] = None,
+    backend: str = "auto",
 ) -> jax.Array:
     """Per-edge dot product out[e] = <a[dst[e]], b[src[e]]> (reference
-    `sddmm_coo_impl`; two row gathers + a fused rowwise reduction is already
-    bandwidth-optimal under XLA fusion on TPU)."""
+    `sddmm_coo_impl`, kernels `csrc/cuda/sddmm_coo_kernel.cuh:3-210`).
+
+    With a prebuilt `graph` (edges dst-sorted, BAT plan present) the
+    Pallas BAT SDDMM kernel runs on TPU: round-5 measurement showed XLA's
+    fused two-gather version reaches only ~9% of HBM peak at arxiv N=128
+    (`results/benchop_sddmm.csv`) because materialized row gathers are
+    issue-bound; streaming the dst-side rows as window blocks removes one
+    of the two gathers. Falls back to the XLA reference off-TPU, without a
+    graph, or past the single-gather transient budget."""
+    if (
+        graph is not None
+        and graph.bat is not None
+        and _use_pallas(backend)
+        and b.shape[1] >= 8
+        and src_index.shape[0] * max(b.shape[1], 128) * 4
+        <= int(os.environ.get("GEOT_SDDMM_MAX_BYTES", 4 << 30))
+    ):
+        return _sddmm_bat_fwd(graph.bat, a, b, src_index)
     return ref.sddmm_coo_ref(src_index, dst_index, a, b)

@@ -1005,6 +1005,99 @@ def bat_segment_sum_packed(
 # ---------------------------------------------------------------------------
 
 
+def _sddmm_bat_kernel(*refs, s_tile, n_full):
+    """Per-edge dot out[e] = <a[dst[e]], b[e]> over BAT tiles: the a-side
+    rows SHARE the tile's dst window, so they arrive as one streamed
+    [s_tile, f] block and the per-edge selection is a one-hot MXU matmul —
+    the gather half of XLA's fused SDDMM disappears (measured 9% of HBM
+    peak at arxiv N=128, scratch_r5/campaign/sddmm.log; the reference
+    instead hand-vectorizes both gathers, `csrc/cuda/sddmm_coo_kernel.cuh:
+    3-210`). b values are pre-gathered edge-order rows (the same fast-size
+    gather as the SpMM BAT path). Out-of-window and -1-pad edges match no
+    one-hot row, so their a_sel row is zero and they contribute nothing —
+    the per-TILE outputs are summed by value block afterwards (a cheap
+    sorted segment-sum over [T, E] — vblock is non-decreasing across
+    tiles), because Pallas does not guarantee output blocks survive
+    non-consecutive revisits within one call."""
+    ob_ref, vb_ref = refs[0], refs[1]
+    dst_ref, a_ref, b_ref, o_ref, acc_ref = refs[2:7]
+
+    t = pl.program_id(0)
+    f = pl.program_id(1)
+    n_f = pl.num_programs(1)
+    cur = ob_ref[t]
+    local = dst_ref[0, 0, :] - cur * s_tile  # [E]; -1/-OOW match no row
+    e_tile = local.shape[0]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (e_tile, s_tile), 1)
+    sel = (row_ids == local[:, None]).astype(jnp.float32)
+    a_sel = _onehot_dot(sel, a_ref[:])  # [E, f_tile] f32
+    part = jnp.sum(a_sel * b_ref[:].astype(jnp.float32), axis=1)  # [E]
+
+    @pl.when(f == 0)
+    def _():
+        acc_ref[0, :] = part
+
+    @pl.when(f != 0)
+    def _():
+        acc_ref[0, :] = acc_ref[0, :] + part
+
+    @pl.when(f == n_f - 1)
+    def _():
+        o_ref[0, 0, :] = acc_ref[0, :]
+
+
+def sddmm_bat(
+    bp,  # BatPlan over the dst-sorted edges
+    a: jax.Array,  # [n_blocks*s_tile, f_pad] dst-side rows (padded)
+    b_vals: jax.Array,  # [>= n_vblocks*e_tile, f_pad] edge-order src rows
+    *,
+    f_tile: int = 128,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Returns [(n_vblocks+1) * e_tile] f32 — per-edge dots in edge order
+    (slot i of value block v at v*e_tile + i; the +1 sentinel block and
+    pad slots are zero)."""
+    if interpret is None:
+        interpret = default_interpret()
+    T, E, s_tile = bp.num_tiles, bp.e_tile, bp.s_tile
+    f_pad = a.shape[1]
+    assert f_pad % f_tile == 0 and b_vals.shape[1] == f_pad
+    n_f = f_pad // f_tile
+    n_full = b_vals.shape[0] // E
+    b_main = max(n_full - 1, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T, n_f),  # f fastest: per-tile rowsum accumulates in scratch
+        in_specs=[
+            pl.BlockSpec((1, 1, E), lambda t, f, ob, vb: (vb[t], 0, 0)),
+            pl.BlockSpec((s_tile, f_tile), lambda t, f, ob, vb: (ob[t], f)),
+            pl.BlockSpec(
+                (E, f_tile),
+                lambda t, f, ob, vb: (jnp.minimum(vb[t], b_main), f),
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, 1, E), lambda t, f, ob, vb: (t, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((8, E), jnp.float32)],
+    )
+    parts = pl.pallas_call(
+        functools.partial(_sddmm_bat_kernel, s_tile=s_tile, n_full=n_full),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, 1, E), jnp.float32),
+        interpret=interpret,
+    )(bp.out_block, bp.vblock, bp.dst3, a, b_vals)
+    # combine the (<= windows-spanned) per-tile partials of each value
+    # block: vblock is non-decreasing over tiles, so this is a sorted
+    # segment-sum over [T, E] (sentinel tiles land in block n_vblocks)
+    out = jax.ops.segment_sum(
+        parts.reshape(T, E),
+        jnp.minimum(bp.vblock, bp.n_vblocks),
+        num_segments=bp.n_vblocks + 1,
+        indices_are_sorted=True,
+    )
+    return out.reshape(-1)
+
+
 def _stream_kernel(*refs, s_tile, x_rows, has_w, inout=False):
     ob_ref, sb_ref = refs[0], refs[1]
     i = 2
@@ -1218,7 +1311,10 @@ def plan_segment_sum_sr(
         interpret = default_interpret()
     T, e_tile, s_tile = plan.num_tiles, plan.e_tile, plan.s_tile
     f_pad = vals_slots.shape[1]
-    assert vals_slots.shape[0] == T * e_tile, (vals_slots.shape, T, e_tile)
+    # >=: callers may over-gather a few tail rows so the gather's index
+    # count avoids the XLA slow-emitter sizes (api._fast_gather_fn); the
+    # value grid never addresses rows past T*e_tile
+    assert vals_slots.shape[0] >= T * e_tile, (vals_slots.shape, T, e_tile)
     assert f_pad % f_tile == 0, (f_pad, f_tile)
     n_f = f_pad // f_tile
     out_dtype = out_dtype or vals_slots.dtype

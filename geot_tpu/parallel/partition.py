@@ -387,9 +387,16 @@ def partition_graph(
                 build_part_stream_family,
             )
 
+            # stream tiles are decoupled from the BAT edge blocks: one
+            # FORCED family per part (shard_map uniformity), and E=512
+            # keeps mid-density cells economical (TILE_NS(512)=1.5 us vs
+            # 3.4 us at 1024 — at part-local table sizes the crossover
+            # cell is ~270 edges vs ~610). The caller asked for hybrid
+            # explicitly, so the scale margin cushion is waived (the
+            # per-cell cost model still drops cells the stream loses on).
             skw = dict(
-                e_tile=bat_e_tile, s_tile=s_tile,
-                feature_hint=feature_hint,
+                e_tile=min(bat_e_tile, 512), s_tile=s_tile,
+                feature_hint=feature_hint, margin=1.0,
             )
             stream_i, masks, _ = build_part_stream_family(
                 int_dst_parts, int_src_parts, w_int_parts, npp, npp, **skw

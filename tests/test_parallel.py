@@ -310,7 +310,7 @@ def _clustered_parts(n, P, intra, cross, seed=0):
     return src, dst
 
 
-@pytest.mark.parametrize("nparts", [2, 4])
+@pytest.mark.parametrize("nparts", [2, 4, 8])
 def test_halo_spmm_hybrid_layout_matches_reference(nparts):
     """layout='hybrid' (VERDICT r4 Next #5): interior dense cells stream
     gather-free from the local shard; the residue and boundary edges ride
