@@ -725,12 +725,12 @@ def _spmm_fwd(plan, x, w_edge, src, dst, use_pallas, w_idx=None):
 
             return _aeb_sum(plan, vals_fn, n, w_edge=w_edge)
         # wide: slot-ordered x gather (as the static path) + rolled weights
-        srcs = plan.src_slots.reshape(-1)
+        gfn = _fast_gather_fn(x, plan.src_slots, n)
         f_tile = _pick_f_tile(n)
         f_pad = _round_up(max(n, 1), f_tile)
 
         def run_one(cp, t0, t1, w0, token):
-            v = _gated(x, token)[srcs[t0 * plan.e_tile : t1 * plan.e_tile]]
+            v = gfn(t0 * plan.e_tile, t1 * plan.e_tile, token)
             if f_pad != n:
                 v = jnp.pad(v, ((0, 0), (0, f_pad - n)))
             out = plan_segment_sum_sr2(
@@ -1309,7 +1309,6 @@ def dispatch_path(
       'bucketed'    sliced-table bucketed BAT (static weights baked)
       'bat_static'  BAT kernels, static weights in edge order
       'slot_static' slot-layout kernels, static slot weights
-      'xla_slot'    slot arrays on the XLA scatter path (crossover, static)
       'bat'         BAT kernels, unweighted
       'slot'        slot-layout kernels, unweighted
       'bat_dyn'     BAT kernels, per-call weights
@@ -1317,6 +1316,18 @@ def dispatch_path(
       'xla'         plain XLA reference path
     """
     use_p = _use_pallas(backend) and reduce in ("sum", "mean")
+    in_sum = reduce in ("sum", "mean")
+    if (
+        in_sum
+        and not dynamic_w
+        and use_p
+        and getattr(graph, "hyb", None) is not None
+    ):
+        # the hybrid plan exists only when the per-GRAPH census (or a
+        # measured spmm_hyb verdict) accepted streaming — that per-graph
+        # decision outranks the bucket-interpolated xla crossover below,
+        # which knows nothing about this graph's locality
+        return "hybrid"
     if use_p and backend == "auto":
         # latency-floor crossover (graph-build-time table decision): below
         # the measured floor the XLA reference path wins outright
@@ -1328,9 +1339,6 @@ def dispatch_path(
     have_slot = graph.plan is not None
     use_bat = use_p and graph.bat is not None
     static_w = not dynamic_w and graph.edge_weight is not None
-    in_sum = reduce in ("sum", "mean")
-    if in_sum and not dynamic_w and use_p and getattr(graph, "hyb", None) is not None:
-        return "hybrid"
     if in_sum and static_w and use_p and graph.bat_b is not None:
         return "bucketed"
     if (
@@ -1340,8 +1348,8 @@ def dispatch_path(
         and (graph.prefer.startswith("bat") or not have_slot or graph.w_slots is None)
     ):
         return "bat_static"
-    if in_sum and not dynamic_w and graph.w_slots is not None:
-        return "slot_static" if use_p else "xla_slot"
+    if in_sum and not dynamic_w and graph.w_slots is not None and use_p:
+        return "slot_static"
     if not dynamic_w and graph.edge_weight is None:
         if use_p and graph.bat_b is not None:
             return "bucketed"
@@ -1384,9 +1392,9 @@ def segment_spmm(
             x, graph.edge_weight, graph.src, graph.dst, graph.dst_t,
             graph.edge_weight_t, graph.bat, graph.bat_t,
         )
-    elif path in ("slot_static", "xla_slot"):
+    elif path == "slot_static":
         # static-weight fast path: slot weights cached at graph build
-        out = _make_gws_static(path == "slot_static")(
+        out = _make_gws_static(True)(
             x, graph.plan, graph.plan_t, graph.w_slots, graph.w_slots_t
         )
     elif path == "bat":

@@ -420,7 +420,9 @@ def plan_segment_sum_sr2(
             # once-resident block instead of an O(nnz) pad of `vals`
             tail = jnp.pad(vals[n_full * e_tile :], ((0, e_tile - rem), (0, 0)))
     else:
-        assert vals.shape[0] == T * e_tile, (vals.shape, T, e_tile)
+        # >=: callers may over-gather tail rows for fast-emitter gather
+        # sizes (api._fast_gather_fn); slot blocks beyond T are unaddressed
+        assert vals.shape[0] >= T * e_tile, (vals.shape, T, e_tile)
         n_vblocks = plan.n_value_blocks or 2
         n_full = n_vblocks
 

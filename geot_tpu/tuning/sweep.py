@@ -355,6 +355,25 @@ def sweep_graph(
                 if verbose:
                     print(f"{name} {op} N={n_feat} {cfg.key()}: {t*1e3:.3f} ms",
                           flush=True)
+            # noise-floor tie-break: sub-3ms cells sit at the tunnel-RTT
+            # noise scale where sweep-vs-grid reruns flip marginal winners
+            # (r5 grid: citeseer N=32 'sr' won the sweep by 4% then lost
+            # the grid by 46%). Inside that regime a custom config must
+            # beat xla by >20% to displace it — otherwise record xla (the
+            # robust choice; it is also what the latency floor would pick).
+            cell = [
+                r for r in rows
+                if r.dataset == name and r.op == op and r.n_features == n_feat
+            ]
+            xla_rows = [r for r in cell if r.cfg.mode == "xla"]
+            if (
+                xla_rows
+                and kb in best
+                and best[kb][0].mode != "xla"
+                and xla_rows[0].seconds < 3e-3
+                and best[kb][1] > 0.8 * xla_rows[0].seconds
+            ):
+                best[kb] = (xla_rows[0].cfg, xla_rows[0].seconds)
             if verbose and kb in best:
                 print(
                     f"--> {name} {op} N={n_feat} best: "

@@ -5,6 +5,10 @@ assert WHICH path `dispatch_path` selects per graph shape — the selection
 itself, not just the computed value. Mirrors the role of the reference's
 rule-dispatch tests (`csrc/cuda/wrapper/index_scatter_rule.h:3-256` picks an
 implementation per shape; the sweep verifies each pick runs).
+
+Structural tests isolate from the SHIPPED measured table (its contents
+legitimately change with every hardware re-sweep); only table-mechanism
+tests construct their own tables.
 """
 
 import numpy as np
@@ -42,7 +46,15 @@ def force_pallas(monkeypatch):
     monkeypatch.setattr(api, "_use_pallas", lambda backend: backend != "reference")
 
 
-def test_hybrid_selected_for_clustered_static(force_pallas):
+def _isolate_table(monkeypatch):
+    import geot_tpu.tuning.heuristics as H
+
+    monkeypatch.setenv(H.TABLE_ENV, "/nonexistent/table.json")
+    H._table_cache = None
+
+
+def test_hybrid_selected_for_clustered_static(force_pallas, monkeypatch):
+    _isolate_table(monkeypatch)
     w = np.random.default_rng(1).standard_normal(60_000).astype(np.float32)
     g = _clustered_graph(
         4096, 60_000, edge_weight=w, layouts=("bat", "stream"),
@@ -53,7 +65,8 @@ def test_hybrid_selected_for_clustered_static(force_pallas):
     assert dispatch_path(g, dynamic_w=True) in ("bat_dyn", "slot_dyn")
 
 
-def test_uniform_big_graph_degenerates_to_bat(force_pallas):
+def test_uniform_big_graph_degenerates_to_bat(force_pallas, monkeypatch):
+    _isolate_table(monkeypatch)
     w = np.random.default_rng(1).standard_normal(80_000).astype(np.float32)
     g = _random_graph(
         40_000, 80_000, edge_weight=w, layouts=("bat", "stream")
@@ -64,7 +77,8 @@ def test_uniform_big_graph_degenerates_to_bat(force_pallas):
     assert dispatch_path(g) == "bat_static"
 
 
-def test_unweighted_routes_by_prefer(force_pallas):
+def test_unweighted_routes_by_prefer(force_pallas, monkeypatch):
+    _isolate_table(monkeypatch)
     g = _random_graph(4096, 60_000, layouts=("bat", "slot"))
     want = "bat" if g.prefer.startswith("bat") else "slot"
     assert dispatch_path(g) == want
@@ -88,7 +102,7 @@ def test_latency_floor_crossover_routes_to_xla(force_pallas, monkeypatch):
     assert g.prefer == "xla", (
         f"latency floor did not fire at cora scale (prefer={g.prefer})"
     )
-    assert dispatch_path(g) in ("xla", "xla_slot")
+    assert dispatch_path(g) == "xla"
     assert dispatch_path(g, dynamic_w=True) == "xla"
     # explicit pallas request still honors the caller
     assert dispatch_path(g, backend="pallas") != "xla"
