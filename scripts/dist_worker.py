@@ -1,15 +1,18 @@
 """Multi-process distributed training worker (CPU backend).
 
-Usage: dist_worker.py <coordinator> <num_processes> <process_id>
+Usage: dist_worker.py <coordinator> <num_processes> <process_id> \
+           [devices_per_process=4] [num_nodes=96]
 
-Each process contributes 4 CPU devices to a global 'parts' mesh and runs
-three steps of the distributed GCN train step (`parallel/dist_train.py`)
-on an identical synthetic classification graph. Prints one JSON line with
-the per-step losses; the launching test asserts cross-process agreement
-and equality with the single-process run (SURVEY §4: multi-host tests on
-CPU via jax.distributed). Exercises the real multi-controller path: global
-mesh spanning non-addressable devices, `jax.make_array_from_callback`
-sharding, cross-process collectives through the coordination service.
+Each process contributes `devices_per_process` CPU devices to a global
+'parts' mesh and runs three steps of the distributed GCN train step
+(`parallel/dist_train.py`) on an identical synthetic classification
+graph. Prints one JSON line with the per-step losses; the launching test
+asserts cross-process agreement and equality with the single-process run
+(SURVEY §4: multi-host tests on CPU via jax.distributed). Exercises the
+real multi-controller path: global mesh spanning non-addressable devices,
+`jax.make_array_from_callback` sharding, cross-process collectives
+through the coordination service. `num_nodes` not divisible by the part
+count exercises the uneven dst-range split.
 """
 
 import json
@@ -19,8 +22,10 @@ import jax
 
 # force the CPU backend even where a TPU plugin self-registers (the env var
 # alone can be stomped by sitecustomize-style platform hooks)
+DEVS_PER_PROC = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+NUM_NODES = int(sys.argv[5]) if len(sys.argv) > 5 else 96
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 4)
+jax.config.update("jax_num_cpu_devices", DEVS_PER_PROC)
 
 
 def main() -> None:
@@ -42,11 +47,11 @@ def main() -> None:
     )
     from geot_tpu.parallel.halo_spmm import block_nodes, node_sharding
 
-    devs = jax.devices()  # 8 global (4 per process)
-    assert len(devs) == 4 * num_procs, devs
+    devs = jax.devices()  # num_procs * DEVS_PER_PROC global
+    assert len(devs) == DEVS_PER_PROC * num_procs, devs
     mesh = Mesh(np.array(devs), ("parts",))
 
-    d = synthetic_classification_graph(96, 600, 4, feat_dim=8, seed=0)
+    d = synthetic_classification_graph(NUM_NODES, 600, 4, feat_dim=8, seed=0)
     g = prepare_graph(
         d.src, d.dst, d.num_nodes, add_self_loops=True, e_tile=32, s_tile=32
     )

@@ -1,9 +1,11 @@
-"""Multi-process (2 proc × 4 CPU devices) distributed training parity.
+"""Multi-process distributed training parity (CPU backend).
 
 SURVEY §4 "multi-host tests can run on CPU with jax.distributed": launches
-two real OS processes that form one 8-device global mesh through the JAX
+real OS processes that form one 8-device global mesh through the JAX
 coordination service and run `make_dist_train_step` (the DCN/multi-host
-code path the reference lacks). Asserts (a) both processes agree, and
+code path the reference lacks). Parametrized over process topology
+(2 proc × 4 dev and 4 proc × 2 dev) and over an uneven node/part split
+(97 nodes over 8 dst-range parts). Asserts (a) all processes agree, and
 (b) the losses match a single-process 8-device run of the identical
 configuration step-for-step.
 """
@@ -26,8 +28,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_dist_train_matches_single_process():
+def _launch_workers(nprocs: int, devs_per_proc: int, num_nodes: int):
     port = _free_port()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -36,10 +37,11 @@ def test_two_process_dist_train_matches_single_process():
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(REPO, "scripts", "dist_worker.py"),
-             f"localhost:{port}", "2", str(pid)],
+             f"localhost:{port}", str(nprocs), str(pid),
+             str(devs_per_proc), str(num_nodes)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
         )
-        for pid in range(2)
+        for pid in range(nprocs)
     ]
     outs = []
     for p in procs:
@@ -51,13 +53,12 @@ def test_two_process_dist_train_matches_single_process():
             raise
         assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
         outs.append(json.loads(out.strip().splitlines()[-1]))
+    return outs
 
-    l0, l1 = outs[0]["losses"], outs[1]["losses"]
-    assert len(l0) == 3
-    np.testing.assert_allclose(l0, l1, rtol=0, atol=0)  # replicated loss
 
-    # single-process 8-device run of the SAME config (this test process has
-    # 8 virtual CPU devices via conftest)
+def _single_process_losses(num_nodes: int):
+    """8-device single-process run of the identical configuration (this
+    test process has 8 virtual CPU devices via conftest)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -76,7 +77,7 @@ def test_two_process_dist_train_matches_single_process():
     if len(devs) < 8:
         pytest.skip("needs 8 devices")
     mesh = Mesh(np.array(devs[:8]), ("parts",))
-    d = synthetic_classification_graph(96, 600, 4, feat_dim=8, seed=0)
+    d = synthetic_classification_graph(num_nodes, 600, 4, feat_dim=8, seed=0)
     g = prepare_graph(d.src, d.dst, d.num_nodes, add_self_loops=True,
                       e_tile=32, s_tile=32)
     w = np.asarray(gcn_edge_weight(g))
@@ -93,4 +94,25 @@ def test_two_process_dist_train_matches_single_process():
     for _ in range(3):
         params, opt_state, loss = step(params, opt_state, x, y, m)
         ref_losses.append(float(loss))
-    np.testing.assert_allclose(l0, ref_losses, rtol=1e-6, atol=1e-7)
+    return ref_losses
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "nprocs,devs_per_proc,num_nodes",
+    [
+        (2, 4, 96),   # original topology, even 12-node parts
+        (4, 2, 97),   # more processes, fewer local devices, uneven split
+    ],
+    ids=["2proc_even", "4proc_uneven"],
+)
+def test_dist_train_matches_single_process(nprocs, devs_per_proc, num_nodes):
+    outs = _launch_workers(nprocs, devs_per_proc, num_nodes)
+
+    losses = [o["losses"] for o in outs]
+    assert all(len(l) == 3 for l in losses)
+    for l in losses[1:]:  # replicated loss: bit-identical across processes
+        np.testing.assert_allclose(losses[0], l, rtol=0, atol=0)
+
+    ref_losses = _single_process_losses(num_nodes)
+    np.testing.assert_allclose(losses[0], ref_losses, rtol=1e-6, atol=1e-7)
