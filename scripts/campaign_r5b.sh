@@ -19,8 +19,15 @@ run() {
 }
 
 run resweep_small python -m geot_tpu.tuning.sweep --fast \
-  --datasets cora pubmed amazon_photo flickr ogbl-collab \
+  --datasets cora citeseer pubmed amazon_photo flickr ogbl-collab \
   --features 8 32 128 --ops spmm spmm_dyn --iters 20 \
+  --out geot_tpu/tuning/table.json --results-dir results
+
+# index_scatter buckets were swept pre-fix too (xla candidate mis-routed
+# through the slot-array scatter) — re-measure them
+run resweep_iscat python -m geot_tpu.tuning.sweep --fast \
+  --datasets cora citeseer pubmed flickr ogbl-collab \
+  --features 32 128 --ops index_scatter --iters 20 \
   --out geot_tpu/tuning/table.json --results-dir results
 
 run sweep_reddit2 python -m geot_tpu.tuning.sweep --fast \
@@ -31,7 +38,8 @@ run sweep_reddit2 python -m geot_tpu.tuning.sweep --fast \
 python - <<'EOF'
 import csv, os
 DROP = {"cora", "citeseer", "pubmed", "amazon_photo", "ogbl-collab"}
-for path in ("results/benchop_spmm_static.csv", "results/benchop_spmm.csv"):
+for path in ("results/benchop_spmm_static.csv", "results/benchop_spmm.csv",
+             "results/benchop_index_scatter.csv"):
     if not os.path.exists(path):
         continue
     rows = [r for r in csv.DictReader(open(path)) if r["dataset"] not in DROP]
@@ -48,6 +56,19 @@ run regrid_static python benchmarks/bench_ops.py --op spmm_static \
 run regrid_dyn python benchmarks/bench_ops.py --op spmm \
   --datasets cora citeseer pubmed amazon_photo ogbl-collab \
   --features 8 32 128 --iters 30 --out results/benchop_spmm.csv
+run regrid_iscat python benchmarks/bench_ops.py --op index_scatter \
+  --datasets cora citeseer pubmed amazon_photo ogbl-collab \
+  --features 32 128 --iters 30 --out results/benchop_index_scatter.csv
+
+# mh grid re-run: the flat-lane _mh_fwd layout (no per-head 128 padding)
+# replaced the measured code
+rm -f results/benchop_mh_spmm.csv
+run mh4b python benchmarks/bench_ops.py --op mh_spmm --heads 4 \
+  --datasets flickr ogbn-arxiv reddit2 --features 16 32 --iters 20 \
+  --out results/benchop_mh_spmm.csv
+run mh8b python benchmarks/bench_ops.py --op mh_spmm --heads 8 \
+  --datasets flickr ogbn-arxiv reddit2 --features 16 --iters 20 \
+  --out results/benchop_mh_spmm.csv
 
 # SDDMM grid with the Pallas kernel (first kernel rows) + chunked reddit2
 rm -f results/benchop_sddmm.csv

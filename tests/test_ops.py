@@ -117,7 +117,12 @@ def test_index_scatter_pallas(reduce, n_feat):
                                rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("H,D", [(4, 8), (4, 64), (2, 100), (8, 32)])
+@pytest.mark.parametrize(
+    "H,D",
+    [(4, 8), (4, 64), (2, 100), (8, 32),
+     (4, 16),   # flat 64-lane layout + inert pad lanes (campaign mh4 shape)
+     (3, 96)],  # head 1 straddles the 128-lane f_tile boundary
+)
 def test_mh_spmm(H, D):
     rng = np.random.default_rng(5)
     n, nnz = 120, 900
