@@ -78,10 +78,12 @@ def run(args) -> None:
                 edge_weight=w_host, layouts=("bat",),
             ),
         )
-        if mixing >= 1.0:
-            assert g_h.hyb is None, (
-                "census accepted streaming on a uniform graph"
-            )
+        # NOTE: mixing=1.0 may still stream — the post-gather-fix cost
+        # model streams dense zipf-hub cells even on uniform graphs (the
+        # round-3 "uniform can't stream" rule was an artifact of the
+        # mis-calibrated rest rate; RESULTS.md r5). The graceful-degradation
+        # property is now asserted by tests/test_dispatch.py on the census
+        # MARGIN, not by hyb being absent here.
         stream_frac = 0.0
         if g_h.hyb is not None:
             streamed = sum(int(sp.num_edges) for sp in g_h.hyb.stream)

@@ -63,7 +63,14 @@ def run(args) -> None:
                 )
                 # params stay f32 masters; bf16 is the COMPUTE dtype
                 # (activations + casts inside the layers)
-                params = model.init(jax.random.PRNGKey(0), x, g)
+                try:
+                    # init under jit: eager-mode chunked gathers at
+                    # reddit2 scale churn multi-GB transients and can OOM
+                    # the chip (campaign r5 models stage died in gin init)
+                    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, g)
+                except Exception as exc:
+                    print(f"{ds} {mname} h={hidden}: init FAILED {exc}")
+                    continue
                 for backend in ("pallas", "reference"):
                     m2 = model_cls(
                         hidden_features=hidden,

@@ -950,29 +950,27 @@ def _mh_fwd(plan, x, w_heads, src, dst, use_pallas):
     n_nodes, H, D = x.shape
     if not use_pallas:
         return ref.mh_spmm_ref(src, dst, w_heads, x, plan.num_segments)
-    f_tile = min(_pick_f_tile(H * D), _round_up(H * D, 128))
-    f_pad = _round_up(H * D, f_tile)
-    if f_pad != H * D or f_tile % D != 0:
-        # pad each head's feature dim so lanes never straddle heads
-        d_used = _round_up(D, 128)
-        x2 = jnp.pad(x, ((0, 0), (0, 0), (0, d_used - D))).reshape(
-            n_nodes, H * d_used
-        )
-        f_use = min(128, d_used)
-    else:
-        d_used, f_use = D, f_tile
-        x2 = x.reshape(n_nodes, H * D)
+    # Flat (H*D)-lane layout, padded to the lane tile at the END only: the
+    # kernel's head-selector (`head_of_lane >= n_heads` → zero weight)
+    # makes trailing pad lanes inert, so no per-head padding is needed —
+    # H=4, D=16 gathers 128 lanes, not 4×128 (which measured 48 ms vs
+    # 18 ms for the same bytes at arxiv, campaign r5 mh4 grid).
+    f_pad = _round_up(H * D, 128)
+    f_tile = _pick_f_tile(f_pad)
+    x2 = x.reshape(n_nodes, H * D)
+    if f_pad != H * D:
+        x2 = jnp.pad(x2, ((0, 0), (0, f_pad - H * D)))
 
     def run_one(cp, t0, t1, w0, token):
         vals = _gated(x2, token)[cp.src_slots.reshape(-1)]
         wh = w_heads[cp.edge_pos.reshape(-1)] * cp.mask.reshape(-1)[
             :, None
         ].astype(w_heads.dtype)
-        out = plan_segment_sum_mh(cp, vals, wh, d_used, f_tile=f_use)
+        out = plan_segment_sum_mh(cp, vals, wh, D, f_tile=f_tile)
         return out[: cp.num_segments]
 
     out = _plan_sum_chunked(plan, run_one)
-    return out.reshape(plan.num_segments, H, d_used)[:, :, :D]
+    return out[:, : H * D].reshape(plan.num_segments, H, D)
 
 
 def segment_counts(plan, backend: str = "auto") -> jax.Array:

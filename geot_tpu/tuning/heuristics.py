@@ -147,6 +147,17 @@ def select_config_ex(
     if table:
         near = _nearest_key(table, op, kb)
         if near is not None:
+            if nnz > 20_000_000 and near.mode in ("sr", "packed", "pr"):
+                # slot layouts are never MEASURED past 20M edges (the sweep
+                # skips them: ~3 GB HBM of slot arrays + minutes of host
+                # build), so an interpolated slot winner here is an
+                # extrapolation outside its measurement domain — and it
+                # routed reddit2 models onto a 3x-slower path (campaign r5
+                # models stage). Clamp to BAT with the same tiles.
+                near = KernelConfig(
+                    mode="bat", e_tile=near.e_tile, s_tile=near.s_tile,
+                    f_tile=near.f_tile,
+                )
             return near, "near"
     if n_features <= 64:
         # packed BAT: 128//n lanes per edge row; measured best for narrow

@@ -76,6 +76,27 @@ run sddmm2 python benchmarks/bench_ops.py --op sddmm \
   --datasets cora citeseer pubmed amazon_photo ppi flickr ogbn-arxiv ogbl-collab reddit2 \
   --features 32 128 --iters 30 --out results/benchop_sddmm.csv
 
+# reddit2 model re-run: the interpolated 'sr' prefer mis-routed the model
+# path (clamped now) and gin init OOM killed the stage mid-dataset
+python - <<'EOF'
+import csv, os
+path = "results/model_result.csv"
+if os.path.exists(path):
+    rows = [r for r in csv.DictReader(open(path)) if r["dataset"] != "reddit2"]
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0]))
+        w.writeheader()
+        w.writerows(rows)
+    print(path, "filtered to", len(rows), "rows")
+EOF
+run models_reddit2 python benchmarks/bench_models.py \
+  --models gcn gin graphsage gat --datasets reddit2 \
+  --hidden 32 64 --iters 30 --out results/model_result.csv
+
+# the uniform locality point died on a stale assertion in campaign A
+run clustered_uniform python benchmarks/bench_clustered.py \
+  --mixings 1.0 --iters 8 --out results/clustered_vs_uniform.csv
+
 run part_interior python scratch_r5/probe_part_interior.py
 
 echo "CAMPAIGN B COMPLETE $(date)" | tee -a $LOG/campaign.log
