@@ -20,6 +20,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from geot_tpu.graph.plan import BatPlan, BucketedBatPlan, SegmentPlan
+
+# bump when the plan-building logic changes in a way that invalidates
+# cached graphs (e.g. the packedness-honoring fix, round 5)
+PLAN_CACHE_VERSION = 2
 from geot_tpu.graph.stream_plan import HybridPlan, StreamPlan
 from geot_tpu.graph.structures import Graph
 
@@ -195,7 +199,14 @@ def cached_build(cache_key: str, build_fn, cache_dir: Optional[str] = None):
     )
     if cache_dir == "off":
         return build_fn()
-    path = os.path.join(cache_dir, f"{cache_key}.npz")
+    # plans embed tuning-table decisions (tiles, packedness, layout
+    # preference), so the key must roll over when the table or the plan
+    # format changes — otherwise a re-sweep keeps serving stale plans
+    from geot_tpu.tuning.heuristics import table_fingerprint
+
+    path = os.path.join(
+        cache_dir, f"{cache_key}-v{PLAN_CACHE_VERSION}-{table_fingerprint()}.npz"
+    )
     if os.path.exists(path):
         try:
             g = load_graph(path)

@@ -151,6 +151,7 @@ def build_graph(
     dst = np.asarray(dst, dtype=np.int32)
     mode_hint = "auto"
     prefer = prefer_dyn = "bat"
+    table_picked = None  # winning mode when the tuning layer chose tiles
     if e_tile is None or s_tile is None or bat_e_tile is None:
         # measured-table (or analytic-heuristic) winners drive BOTH plan
         # families' tiles and the static/dynamic spmm layout preference —
@@ -163,6 +164,7 @@ def build_graph(
             feature_hint, len(src), num_nodes, op="spmm_dyn"
         )
         prefer, prefer_dyn = cfg_s.mode, cfg_d.mode
+        table_picked = prefer if prefer != "xla" else prefer_dyn
         slot_cfgs = [c for c in (cfg_s, cfg_d) if c.mode in ("sr", "packed")]
         bat_cfgs = [c for c in (cfg_s, cfg_d) if c.mode.startswith("bat")]
         if slot_cfgs:
@@ -195,6 +197,15 @@ def build_graph(
 
     nw = packed_width(feature_hint) if feature_hint else 0
     km_pack = (128 // nw) if nw else 0
+    if table_picked in ("bat", "sr"):
+        # honor the measured winner's PACKEDNESS, not just the feature
+        # width: at narrow N the packed one-hot loop can lose to plain
+        # BAT's 128-lane padding (collab N=8: plain 13.0 ms vs packed
+        # 21.9 ms, resweep_small) — a 'bat' table winner must yield an
+        # unpacked plan or dispatch runs a config the sweep rejected.
+        # Only when the tuning layer made the pick; explicit-tile builds
+        # keep the feature-width default.
+        km_pack = 0
     # transpose: reduce over src; edges sorted by src
     perm_t = _stable_sort_perm(src, num_nodes)
     plan = plan_t = w_slots = w_slots_t = ep_t = None

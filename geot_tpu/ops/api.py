@@ -1594,6 +1594,20 @@ def gat_attention_spmm(
         n_nodes,
         indices_are_sorted=True,
     )
+    if graph.num_edges > int(
+        os.environ.get("GEOT_GAT_FUSED_MAX_EDGES", 8_000_000)
+    ):
+        # reddit2-scale: the fully-fused slot-space program exceeds HBM at
+        # compile time (16.6 GB program, campaign-r5 models_reddit2 log) —
+        # compose the edge-space softmax with the chunk-streamed mh kernel
+        # instead; still differentiable, still one [nnz, H] transient
+        att = jnp.exp(logit_e - m[graph.dst]) / jnp.maximum(
+            s[graph.dst], 1e-16
+        )
+        return mh_spmm(
+            graph.src, graph.dst, att.astype(xh.dtype), xh, n_nodes,
+            graph=graph, backend=backend,
+        )
     pad_rows = plan.padded_segments - n_nodes
     m_pad = jnp.pad(m, ((0, pad_rows), (0, 0)))
     s_pad = jnp.pad(s, ((0, pad_rows), (0, 0)), constant_values=1.0)
@@ -1700,7 +1714,12 @@ def sddmm_coo(
         graph is not None
         and graph.bat is not None
         and _use_pallas(backend)
-        and b.shape[1] >= 8
+        # campaign-r5 sddmm grid: the kernel wins every >=1M-edge point at
+        # N=128 (arxiv 2.36x, collab 1.73x, ppi 1.51x) but loses most
+        # N=32 cells to the fused XLA gather (flickr 0.67x) — lane
+        # utilisation of the window-block dot is too low below ~64 lanes,
+        # so auto keeps XLA there; backend="pallas" still forces it
+        and (b.shape[1] >= 64 or backend == "pallas")
         and src_index.shape[0] * max(b.shape[1], 128) * 4
         <= int(os.environ.get("GEOT_SDDMM_MAX_BYTES", 4 << 30))
     ):

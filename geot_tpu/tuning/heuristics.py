@@ -56,6 +56,23 @@ class KernelConfig:
 _table_cache: Optional[dict] = None
 
 
+def table_fingerprint() -> str:
+    """Short content hash of the active tuning table — cache keys for
+    artifacts derived from table decisions (prebuilt graph plans) must
+    change when the table does, or a re-sweep keeps serving stale plans
+    (campaign r5: a pre-fix packed BAT plan survived two re-sweeps in the
+    graph cache and cost collab N=8 a 1.8x loss)."""
+    import hashlib
+
+    path = os.environ.get(TABLE_ENV) or os.path.join(
+        os.path.dirname(__file__), "table.json"
+    )
+    if not os.path.exists(path):
+        return "notable"
+    with open(path, "rb") as f:
+        return hashlib.md5(f.read()).hexdigest()[:10]
+
+
 def load_table(path: Optional[str] = None) -> dict:
     global _table_cache
     if _table_cache is not None and path is None:

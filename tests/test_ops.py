@@ -265,6 +265,27 @@ def test_gat_attention_spmm_matches_edge_order():
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
         )
 
+    # big-graph composition route (GEOT_GAT_FUSED_MAX_EDGES exceeded →
+    # edge-space softmax + chunk-streamed mh kernel, the reddit2 HBM-fit
+    # path): same value and grads as the fused program
+    import os as _os
+
+    _os.environ["GEOT_GAT_FUSED_MAX_EDGES"] = "1"
+    try:
+        out_c = fused(xh, a_s, a_d)
+        np.testing.assert_allclose(
+            np.asarray(out_c), np.asarray(out_e), rtol=1e-4, atol=1e-4
+        )
+        gc = jax.grad(
+            lambda *a: jnp.vdot(fused(*a), co), argnums=(0, 1, 2)
+        )(xh, a_s, a_d)
+        for a, b in zip(ge, gc):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+            )
+    finally:
+        del _os.environ["GEOT_GAT_FUSED_MAX_EDGES"]
+
 
 def test_chunked_streaming_matches_unchunked():
     """plan.chunks streaming execution ≡ single-shot, fwd + via segment_spmm."""
