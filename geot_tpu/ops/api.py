@@ -950,13 +950,18 @@ def _mh_fwd(plan, x, w_heads, src, dst, use_pallas):
     n_nodes, H, D = x.shape
     if not use_pallas:
         return ref.mh_spmm_ref(src, dst, w_heads, x, plan.num_segments)
-    # Flat (H*D)-lane layout, padded to the lane tile at the END only: the
-    # kernel's head-selector (`head_of_lane >= n_heads` → zero weight)
-    # makes trailing pad lanes inert, so no per-head padding is needed —
-    # H=4, D=16 gathers 128 lanes, not 4×128 (which measured 48 ms vs
-    # 18 ms for the same bytes at arxiv, campaign r5 mh4 grid).
-    f_pad = _round_up(H * D, 128)
-    f_tile = _pick_f_tile(f_pad)
+    # Flat (H*D)-lane layout: the kernel's head-selector
+    # (`head_of_lane >= n_heads` → zero weight) makes trailing pad lanes
+    # inert, so no per-head padding is needed — H=4, D=16 gathers 64
+    # lanes, not 4×128 (which measured 48 ms vs 18 ms for the same bytes
+    # at arxiv, campaign r5 mh4 grid). Sub-128 widths run unpadded (the
+    # kernel takes f_tile = H*D, same as the fused GAT slot path); only
+    # >128 non-multiples pad up to the lane tile.
+    if H * D < 128 and (H * D) % 8 == 0:
+        f_pad = f_tile = H * D
+    else:
+        f_pad = _round_up(H * D, 128)
+        f_tile = _pick_f_tile(f_pad)
     x2 = x.reshape(n_nodes, H * D)
     if f_pad != H * D:
         x2 = jnp.pad(x2, ((0, 0), (0, f_pad - H * D)))
@@ -1599,14 +1604,19 @@ def gat_attention_spmm(
     ):
         # reddit2-scale: the fully-fused slot-space program exceeds HBM at
         # compile time (16.6 GB program, campaign-r5 models_reddit2 log) —
-        # compose the edge-space softmax with the chunk-streamed mh kernel
-        # instead; still differentiable, still one [nnz, H] transient
+        # compose the edge-space softmax with a separate aggregation.
+        # Aggregation choice measured at reddit2 (H=4): D=8 the XLA
+        # materialized [nnz, H, D] path wins (model fwd 4.58 s vs 5.78 s
+        # with the chunked kernel — slot gathers are issue-bound at 32
+        # lanes); D>=16 the materialization OOMs the chip and the
+        # chunk-streamed kernel is the only path that runs.
         att = jnp.exp(logit_e - m[graph.dst]) / jnp.maximum(
             s[graph.dst], 1e-16
         )
+        agg_backend = "reference" if H * D < 64 else backend
         return mh_spmm(
             graph.src, graph.dst, att.astype(xh.dtype), xh, n_nodes,
-            graph=graph, backend=backend,
+            graph=graph, backend=agg_backend,
         )
     pad_rows = plan.padded_segments - n_nodes
     m_pad = jnp.pad(m, ((0, pad_rows), (0, 0)))
